@@ -1,0 +1,16 @@
+"""nerfies_tpu: a TPU-native deformable neural radiance field framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of google/nerfies
+(Nerfies: Deformable Neural Radiance Fields, ICCV 2021). The compute path is
+built for TPU hardware: batched functional encoders and fields (large fused
+matmuls on the MXU), `jit` + `jax.sharding` SPMD over device meshes instead of
+`pmap`, Pallas kernels for the hot volumetric-rendering path, and closed-form
+3x3 singular values for the elastic regularizer (XLA SVD lowers poorly on TPU).
+
+Public surface parity with the reference (see SURVEY.md):
+  - gin-style config zoo (``nerfies_tpu.minigin``; gin is reimplemented here)
+  - the nerfies on-disk dataset format (``nerfies_tpu.datasets``)
+  - train/eval CLI entry points (``train.py`` / ``eval.py`` at the repo root)
+"""
+
+__version__ = '0.1.0'

@@ -1,0 +1,61 @@
+"""Closed-form 3x3 spectral ops vs numpy LAPACK."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfies_tpu.ops import svd3
+
+
+def _random_mats(n, scale=1.0, seed=0):
+  rng = np.random.RandomState(seed)
+  return (np.eye(3) + scale * rng.randn(n, 3, 3)).astype(np.float32)
+
+
+def test_svals3_matches_lapack():
+  J = _random_mats(64, scale=0.5)
+  got = np.asarray(svd3.svals3(jnp.asarray(J)))
+  ref = np.linalg.svd(J, compute_uv=False)
+  np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_svals3_near_identity():
+  J = _random_mats(32, scale=1e-3, seed=1)
+  got = np.asarray(svd3.svals3(jnp.asarray(J)))
+  ref = np.linalg.svd(J, compute_uv=False)
+  np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_svals3_grad_finite_at_identity():
+  # The common case in training: warp ~ identity => triple-degenerate svals.
+  def loss(J):
+    svals = svd3.svals3(J)
+    return jnp.sum(jnp.log(jnp.maximum(svals, 1e-6)) ** 2)
+
+  g = jax.grad(loss)(jnp.eye(3)[None])
+  assert np.isfinite(np.asarray(g)).all()
+
+  g2 = jax.grad(loss)(jnp.asarray(_random_mats(4, 0.2, seed=2)))
+  assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_det3_and_inv3():
+  J = _random_mats(16, scale=0.4, seed=3)
+  np.testing.assert_allclose(
+      np.asarray(svd3.det3(jnp.asarray(J))), np.linalg.det(J), rtol=1e-4,
+      atol=1e-5)
+  np.testing.assert_allclose(
+      np.asarray(svd3.inv3(jnp.asarray(J))), np.linalg.inv(J), rtol=1e-3,
+      atol=1e-4)
+
+
+def test_nearest_rotation_matches_svd_polar():
+  J = _random_mats(16, scale=0.3, seed=4)
+  got = np.asarray(svd3.nearest_rotation(jnp.asarray(J)))
+  u, _, vh = np.linalg.svd(J)
+  ref = u @ vh
+  np.testing.assert_allclose(got, ref, atol=1e-4)
+  # Result is orthonormal.
+  np.testing.assert_allclose(
+      np.einsum('bij,bik->bjk', got, got),
+      np.broadcast_to(np.eye(3), got.shape), atol=1e-5)
