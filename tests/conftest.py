@@ -3,6 +3,11 @@
 Mirrors the SURVEY.md test strategy: multi-device semantics are validated on
 CPU via XLA's host-platform device-count override so the TPU mesh code paths
 (shardings, collectives) compile and execute without TPU hardware.
+
+NOTE: this environment's sitecustomize registers the TPU PJRT plugin and
+force-selects it with `jax.config.update('jax_platforms', ...)`, which beats
+the JAX_PLATFORMS env var -- tests must override at the config level too or
+they silently run over the TPU tunnel.
 """
 
 import os
@@ -14,6 +19,7 @@ os.environ['XLA_FLAGS'] = (
 
 import jax  # noqa: E402
 
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_threefry_partitionable', True)
 
 # Persistent compilation cache: dramatically speeds up repeated test runs.
