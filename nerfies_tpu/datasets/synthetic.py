@@ -1,0 +1,154 @@
+"""Synthetic nerfies-format scene generator (testing & demos).
+
+Writes a complete capture directory in the nerfies on-disk format: a
+Lambertian-ish sphere at the origin rendered analytically from orbiting
+cameras, with an optional per-frame rigid translation so the deformation
+field has signal to learn. Exercises the full pipeline (dataset.json /
+scene.json / metadata.json / rgb/{s}x / camera / camera-paths / points.npy)
+without COLMAP.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from nerfies_tpu import camera as cam
+from nerfies_tpu import image_utils
+
+
+def render_sphere_image(camera: cam.Camera,
+                        sphere_center=(0.0, 0.0, 0.0),
+                        sphere_radius: float = 0.5,
+                        background: float = 1.0) -> np.ndarray:
+  """Analytically renders a normal-shaded sphere seen by `camera`."""
+  rays = camera.pixels_to_rays(camera.get_pixel_centers())
+  origins = np.broadcast_to(camera.position, rays.shape)
+  center = np.asarray(sphere_center, np.float32)
+
+  oc = origins - center
+  b = np.sum(oc * rays, axis=-1)
+  c = np.sum(oc * oc, axis=-1) - sphere_radius ** 2
+  disc = b * b - c
+  hit = disc > 0
+  t = -b - np.sqrt(np.maximum(disc, 0.0))
+  hit &= t > 0
+
+  points = origins + t[..., None] * rays
+  normals = (points - center) / sphere_radius
+  color = 0.5 * (normals + 1.0)
+  image = np.full(rays.shape, background, np.float32)
+  image[hit] = color[hit]
+  return np.clip(image, 0.0, 1.0)
+
+
+def make_orbit_camera(theta: float, image_size=(64, 48), radius: float = 3.0,
+                      focal: float = 60.0) -> cam.Camera:
+  position = np.asarray(
+      [radius * np.cos(theta), 0.4, radius * np.sin(theta)], np.float32)
+  base = cam.Camera(
+      orientation=np.eye(3),
+      position=position,
+      focal_length=focal,
+      principal_point=np.asarray(image_size, np.float32) / 2.0,
+      image_size=np.asarray(image_size, np.uint32),
+  )
+  return base.look_at(position, np.zeros(3), np.asarray([0.0, 1.0, 0.0]))
+
+
+def write_synthetic_dataset(data_dir,
+                            num_train: int = 8,
+                            num_val: int = 2,
+                            image_size=(64, 48),
+                            image_scales=(1,),
+                            motion_amplitude: float = 0.0,
+                            num_points: int = 256,
+                            seed: int = 0) -> Path:
+  """Writes a full nerfies-format capture directory.
+
+  Args:
+    data_dir: output directory.
+    num_train / num_val: frame counts.
+    image_size: (width, height) at scale 1.
+    image_scales: which rgb/{s}x pyramids to write.
+    motion_amplitude: per-frame sphere translation amplitude (gives the
+      warp field something to learn; 0 = static scene).
+    num_points: background points written to points.npy.
+    seed: rng seed for the background points.
+
+  Returns:
+    The dataset directory path.
+  """
+  data_dir = Path(data_dir)
+  (data_dir / 'camera').mkdir(parents=True, exist_ok=True)
+  num_frames = num_train + num_val
+
+  all_ids = [f'{i:04d}' for i in range(num_frames)]
+  thetas = np.linspace(0.0, 2.0 * np.pi, num_frames, endpoint=False)
+
+  metadata = {}
+  for i, (item_id, theta) in enumerate(zip(all_ids, thetas)):
+    camera = make_orbit_camera(theta, image_size=image_size)
+    camera.save_json(data_dir / 'camera' / f'{item_id}.json')
+
+    phase = 2.0 * np.pi * i / num_frames
+    offset = motion_amplitude * np.sin(phase)
+    image = render_sphere_image(camera,
+                                sphere_center=(offset, 0.0, 0.0))
+    for scale in image_scales:
+      rgb_dir = data_dir / 'rgb' / f'{scale}x'
+      rgb_dir.mkdir(parents=True, exist_ok=True)
+      scaled = (image if scale == 1
+                else image_utils.rescale_image(image, 1.0 / scale))
+      image_utils.save_image(rgb_dir / f'{item_id}.png',
+                             image_utils.image_to_uint8(scaled))
+
+    # Validation frames reuse train metadata ids (as in the vrig setup,
+    # where the val camera shares each time instant with a train camera).
+    mid = i if i < num_train else i % num_train
+    metadata[item_id] = {
+        'appearance_id': mid,
+        'camera_id': 0,
+        'warp_id': mid,
+        'time_id': mid,
+    }
+
+  # Interleave val frames into the orbit.
+  val_ids = all_ids[num_train:]
+  train_ids = all_ids[:num_train]
+  with open(data_dir / 'dataset.json', 'w') as f:
+    json.dump({
+        'count': num_frames,
+        'num_exemplars': num_train,
+        'ids': all_ids,
+        'train_ids': train_ids,
+        'val_ids': val_ids,
+    }, f, indent=2)
+
+  with open(data_dir / 'scene.json', 'w') as f:
+    json.dump({
+        'center': [0.0, 0.0, 0.0],
+        'scale': 1.0,
+        'near': 1.5,
+        'far': 4.5,
+    }, f, indent=2)
+
+  with open(data_dir / 'metadata.json', 'w') as f:
+    json.dump(metadata, f, indent=2)
+
+  # Background points: on-sphere samples away from the moving region.
+  rng = np.random.default_rng(seed)
+  pts = rng.normal(size=(num_points, 3)).astype(np.float32)
+  pts = 1.2 * pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+  with open(data_dir / 'points.npy', 'wb') as f:
+    np.save(f, pts)
+
+  # A small orbit camera path for novel-view rendering.
+  for traj in ('orbit-mild', 'orbit-extreme'):
+    traj_dir = data_dir / 'camera-paths' / traj
+    traj_dir.mkdir(parents=True, exist_ok=True)
+    for j, theta in enumerate(np.linspace(0, 2 * np.pi, 6, endpoint=False)):
+      camera = make_orbit_camera(theta + 0.1, image_size=image_size)
+      camera.save_json(traj_dir / f'{j:06d}.json')
+
+  return data_dir
