@@ -1,0 +1,140 @@
+"""Evaluation: chunked sharded rendering, SSIM/MS-SSIM, visualization."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfies_tpu import configs
+from nerfies_tpu import evaluation
+from nerfies_tpu import training
+from nerfies_tpu import visualization
+from nerfies_tpu.models import nerf
+from nerfies_tpu.ops import ssim as ssim_lib
+from nerfies_tpu.parallel import mesh as mesh_lib
+
+
+def _tiny_model():
+  config = configs.ModelConfig(
+      num_coarse_samples=4, num_fine_samples=4,
+      nerf_trunk_depth=2, nerf_trunk_width=16,
+      nerf_rgb_branch_depth=1, nerf_rgb_branch_width=8,
+      nerf_skips=(1,), num_nerf_point_freqs=2, num_nerf_viewdir_freqs=1,
+      num_warp_freqs=2, use_warp=True, warp_field_type='se3',
+      warp_kwargs={'trunk_depth': 2, 'trunk_width': 8},
+      sigma_activation=nn.softplus, use_stratified_sampling=False)
+  return nerf.construct_nerf(
+      jax.random.PRNGKey(0), config, batch_size=8,
+      appearance_ids=(0,), camera_ids=(0,), warp_ids=(0,),
+      near=0.5, far=3.0)
+
+
+def _image_rays(h, w):
+  yy, xx = np.meshgrid(np.linspace(-0.2, 0.2, h),
+                       np.linspace(-0.3, 0.3, w), indexing='ij')
+  directions = np.stack(
+      [xx, yy, np.ones_like(xx)], axis=-1).astype(np.float32)
+  directions /= np.linalg.norm(directions, axis=-1, keepdims=True)
+  return {
+      'origins': np.zeros((h, w, 3), np.float32),
+      'directions': directions,
+      'metadata': {
+          'warp': np.zeros((h, w, 1), np.uint32),
+          'camera': np.zeros((h, w, 1), np.uint32),
+          'appearance': np.zeros((h, w, 1), np.uint32),
+          'time': np.zeros((h, w, 1), np.float32),
+      },
+  }
+
+
+def test_render_image_shapes_and_chunking():
+  model, params = _tiny_model()
+  state = training.create_train_state(params, warp_alpha=2.0)
+  mesh = mesh_lib.create_mesh()
+  render_fn = evaluation.make_render_fn(model, mesh)
+  h, w = 12, 18  # 216 rays: not divisible by chunk or device count
+  out = evaluation.render_image(state, _image_rays(h, w), render_fn,
+                                chunk=64)
+  assert out['rgb'].shape == (h, w, 3)
+  assert out['depth'].shape == (h, w)
+  assert out['med_depth'].shape == (h, w)
+  assert out['acc'].shape == (h, w)
+  assert np.isfinite(out['rgb']).all()
+  assert out['rays_per_sec'] > 0
+
+
+def test_render_image_chunk_invariance():
+  # The image must not depend on the chunk size (padding correctness).
+  model, params = _tiny_model()
+  state = training.create_train_state(params, warp_alpha=2.0)
+  mesh = mesh_lib.create_mesh()
+  render_fn = evaluation.make_render_fn(model, mesh)
+  rays = _image_rays(8, 8)
+  out1 = evaluation.render_image(state, rays, render_fn, chunk=16)
+  out2 = evaluation.render_image(state, rays, render_fn, chunk=64)
+  np.testing.assert_allclose(out1['rgb'], out2['rgb'], atol=1e-5)
+  np.testing.assert_allclose(out1['depth'], out2['depth'], atol=1e-5)
+
+
+# --- SSIM ---
+
+
+def test_ssim_identical_images():
+  img = jnp.asarray(np.random.RandomState(0).uniform(
+      size=(48, 64, 3)).astype(np.float32))
+  val = float(ssim_lib.ssim(img, img))
+  assert abs(val - 1.0) < 1e-5
+
+
+def test_ssim_noise_lowers_score():
+  rng = np.random.RandomState(1)
+  img = rng.uniform(size=(48, 64, 3)).astype(np.float32)
+  noisy = np.clip(img + 0.2 * rng.randn(48, 64, 3), 0, 1).astype(np.float32)
+  val = float(ssim_lib.ssim(jnp.asarray(img), jnp.asarray(noisy)))
+  assert 0.0 < val < 0.9
+
+
+def test_msssim_matches_tensorflow():
+  tf = pytest.importorskip('tensorflow')
+  rng = np.random.RandomState(2)
+  # Smooth-ish images (MS-SSIM needs >= 176 px per side for 5 scales).
+  base = rng.uniform(size=(192, 192, 3)).astype(np.float32)
+  import scipy.ndimage
+  img0 = scipy.ndimage.gaussian_filter(base, (3, 3, 0)).astype(np.float32)
+  img1 = np.clip(
+      img0 + 0.05 * rng.randn(192, 192, 3), 0, 1).astype(np.float32)
+
+  ours = float(ssim_lib.multiscale_ssim(jnp.asarray(img0),
+                                        jnp.asarray(img1)))
+  theirs = float(tf.image.ssim_multiscale(
+      tf.convert_to_tensor(img0), tf.convert_to_tensor(img1), max_val=1.0))
+  assert abs(ours - theirs) < 0.015
+
+
+def test_msssim_identical():
+  img = jnp.asarray(np.random.RandomState(3).uniform(
+      size=(176, 176, 3)).astype(np.float32))
+  val = float(ssim_lib.multiscale_ssim(img, img))
+  assert abs(val - 1.0) < 1e-4
+
+
+# --- visualization ---
+
+
+def test_colorize_shapes_and_range():
+  depth = np.random.RandomState(0).uniform(1.0, 3.0, (24, 32))
+  colored = visualization.colorize(depth, cmap='turbo')
+  assert colored.shape == (24, 32, 3)
+  assert colored.min() >= 0.0 and colored.max() <= 1.0
+
+
+def test_colorize_constant_array():
+  colored = visualization.colorize(np.ones((8, 8)), cmin=0.0, cmax=1.0)
+  assert np.isfinite(colored).all()
+
+
+def test_colorize_binary_logits():
+  logits = np.random.RandomState(1).randn(16, 16, 4)
+  colored = visualization.colorize_binary_logits(logits)
+  assert colored.shape == (16, 16, 3)
