@@ -1,0 +1,303 @@
+"""Continuous evaluation CLI for nerfies_tpu.
+
+Surface parity with /root/reference/eval.py:58-419: a poll-for-checkpoint
+daemon that renders validation/train/test views, computes PSNR and MS-SSIM
+(pure-JAX, no TensorFlow), writes colorized depth/acc/error maps to
+TensorBoard and PNGs, and rotates saved renders to the newest
+`max_render_checkpoints`.
+"""
+
+import collections
+import functools
+import time
+
+from absl import app
+from absl import flags
+from absl import logging
+import jax
+from jax import random
+import jax.numpy as jnp
+import numpy as np
+
+from nerfies_tpu import checkpoints
+from nerfies_tpu import configs
+from nerfies_tpu import datasets
+from nerfies_tpu import evaluation
+from nerfies_tpu import gpath
+from nerfies_tpu import image_utils
+from nerfies_tpu import minigin as gin
+from nerfies_tpu import schedules
+from nerfies_tpu import training
+from nerfies_tpu import utils
+from nerfies_tpu import visualization as viz
+from nerfies_tpu.models import nerf as models
+from nerfies_tpu.ops import mathutils
+from nerfies_tpu.ops import ssim as ssim_lib
+from nerfies_tpu.parallel import mesh as mesh_lib
+
+flags.DEFINE_string('base_folder', None, 'where to store ckpts and logs')
+flags.mark_flag_as_required('base_folder')
+flags.DEFINE_string('data_dir', None, 'input data directory.')
+flags.DEFINE_multi_string('gin_bindings', None, 'Gin parameter bindings.')
+flags.DEFINE_multi_string('gin_configs', (), 'Gin config files.')
+FLAGS = flags.FLAGS
+
+
+def _make_summary_writer(summary_dir):
+  try:
+    from torch.utils.tensorboard import SummaryWriter
+    return SummaryWriter(str(summary_dir))
+  except ImportError:
+    return None
+
+
+def compute_multiscale_ssim(image1: np.ndarray, image2: np.ndarray) -> float:
+  """MS-SSIM between two float images (JAX impl; parity eval.py:58-62)."""
+  return float(ssim_lib.multiscale_ssim(jnp.asarray(image1),
+                                        jnp.asarray(image2)))
+
+
+def process_batch(*, batch, rng, state, tag, item_id, step, render_fn,
+                  summary_writer, save_dir, datasource):
+  """Renders one example and logs metrics/images.
+
+  Parity: reference eval.py:83-153.
+  """
+  rays_dict = {
+      'origins': batch['origins'],
+      'directions': batch['directions'],
+      'metadata': batch['metadata'],
+  }
+  out = evaluation.render_image(state, rays_dict, render_fn, rng=rng)
+  rgb = np.asarray(out['rgb'])
+  acc = np.asarray(out['acc'])
+  depth_exp = np.asarray(out['depth'])
+  depth_med = np.asarray(out['med_depth'])
+  stats = {'render_time': out['render_time'],
+           'rays_per_sec': out['rays_per_sec']}
+
+  depth_norm = functools.partial(
+      viz.colorize, cmin=datasource.near, cmax=datasource.far, cmap='turbo',
+      invert=True)
+  images = {
+      'rgb': rgb,
+      'acc': viz.colorize(acc, cmin=0.0, cmax=1.0),
+      'depth_expected': depth_norm(depth_exp),
+      'depth_median': depth_norm(depth_med),
+  }
+
+  if 'rgb' in batch:
+    target = np.asarray(batch['rgb'][..., :3])
+    mse = float(((rgb - target) ** 2).mean())
+    stats['mse'] = mse
+    stats['psnr'] = float(mathutils.compute_psnr(jnp.asarray(mse)))
+    min_side = min(rgb.shape[0], rgb.shape[1])
+    if min_side >= 176:  # MS-SSIM needs 5 dyadic scales of the 11px window
+      stats['ms_ssim'] = compute_multiscale_ssim(target, rgb)
+    abs_error = np.abs(target - rgb).mean(axis=-1)
+    images['rgb_target'] = target
+    images['error_abs'] = viz.colorize(abs_error, cmin=0.0, cmax=1.0)
+    images['error_sq'] = viz.colorize(abs_error ** 2, cmin=0.0, cmax=1.0)
+
+  if summary_writer is not None:
+    for name, image in images.items():
+      summary_writer.add_image(f'{tag}/{item_id}/{name}',
+                               image, step, dataformats='HWC')
+    for name in ('psnr', 'ms_ssim'):
+      if name in stats:
+        summary_writer.add_scalar(f'metrics/{tag}/{item_id}/{name}',
+                                  stats[name], step)
+
+  if save_dir is not None:
+    item_dir = save_dir / tag / item_id
+    item_dir.mkdir(parents=True, exist_ok=True)
+    image_utils.save_image(item_dir / 'rgb.png',
+                           image_utils.image_to_uint8(rgb))
+    image_utils.save_image(item_dir / 'depth_median.png',
+                           image_utils.image_to_uint8(
+                               images['depth_median']))
+    image_utils.save_depth(item_dir / 'depth_median_raw.png', depth_med)
+    image_utils.save_image(item_dir / 'acc.png',
+                           image_utils.image_to_uint8(images['acc']))
+
+  logging.info('[%s/%s] %s', tag, item_id,
+               ', '.join(f'{k}={v:.4f}' for k, v in stats.items()))
+  return stats
+
+
+def process_iterator(*, tag, item_ids, iterator, rng, state, step, render_fn,
+                     summary_writer, save_dir, datasource):
+  """Renders a set of examples, aggregating metric means.
+
+  Parity: reference eval.py:155-214.
+  """
+  meters = collections.defaultdict(utils.ValueMeter)
+  for item_id, batch in zip(item_ids, iterator):
+    stats = process_batch(
+        batch=batch, rng=rng, state=state, tag=tag, item_id=item_id,
+        step=step, render_fn=render_fn, summary_writer=summary_writer,
+        save_dir=save_dir, datasource=datasource)
+    for k, v in stats.items():
+      meters[k].update(v)
+  if summary_writer is not None:
+    for k, meter in meters.items():
+      summary_writer.add_scalar(f'metrics/{tag}/mean_{k}',
+                                meter.reduce('mean'), step)
+  return {k: meter.reduce('mean') for k, meter in meters.items()}
+
+
+def delete_old_renders(render_dir, max_renders: int):
+  """Keeps only the newest `max_renders` render checkpoints.
+
+  Parity: reference eval.py:217-222.
+  """
+  render_dir = gpath.GPath(render_dir)
+  if not render_dir.exists():
+    return
+  paths = sorted((p for p in render_dir.iterdir() if p.is_dir()),
+                 key=lambda p: int(p.name))
+  for path in paths[:-max_renders] if max_renders else paths:
+    logging.info('Removing old renders: %s', str(path))
+    path.rmtree()
+
+
+def _test_cameras_iterator(datasource, cameras, metadata_ids):
+  """Whole-image ray dicts for novel-view cameras with fixed metadata."""
+  from nerfies_tpu.datasets import core as ds_core
+  for camera in cameras:
+    rays = ds_core.camera_to_rays(camera)
+    h, w = rays['directions'].shape[:2]
+    metadata = {
+        k: np.full((h, w, 1), v, np.float32 if k == 'time' else np.uint32)
+        for k, v in metadata_ids.items()
+    }
+    yield {
+        'origins': rays['origins'],
+        'directions': rays['directions'],
+        'metadata': metadata,
+    }
+
+
+def main(argv):
+  del argv
+  gin.add_search_path('configs')
+  gin.parse_config_files_and_bindings(
+      config_files=FLAGS.gin_configs, bindings=FLAGS.gin_bindings)
+
+  exp_config = configs.ExperimentConfig()
+  model_config = configs.ModelConfig(use_stratified_sampling=False)
+  train_config = configs.TrainConfig()
+  eval_config = configs.EvalConfig()
+
+  exp_dir = gpath.GPath(FLAGS.base_folder)
+  if exp_config.subname:
+    exp_dir = exp_dir / exp_config.subname
+  summary_dir = exp_dir / 'summaries' / 'eval'
+  checkpoint_dir = exp_dir / 'checkpoints'
+  render_root = exp_dir / 'renders'
+
+  datasource_spec = exp_config.datasource_spec
+  if datasource_spec is None:
+    datasource_spec = {
+        'type': exp_config.datasource_type,
+        'data_dir': FLAGS.data_dir,
+    }
+  datasource = datasets.from_config(
+      datasource_spec,
+      image_scale=exp_config.image_scale,
+      use_appearance_id=model_config.use_appearance_metadata,
+      use_camera_id=model_config.use_camera_metadata,
+      use_warp_id=model_config.use_warp,
+      use_time=model_config.warp_metadata_encoder_type == 'time',
+      random_seed=exp_config.random_seed,
+      **dict(exp_config.datasource_kwargs))
+
+  rng = random.PRNGKey(exp_config.random_seed)
+  rng, key = random.split(rng)
+  model, params = models.construct_nerf(
+      key,
+      model_config,
+      batch_size=eval_config.chunk,
+      appearance_ids=datasource.appearance_ids,
+      camera_ids=datasource.camera_ids,
+      warp_ids=datasource.warp_ids,
+      near=datasource.near,
+      far=datasource.far)
+
+  warp_alpha_sched = schedules.from_config(train_config.warp_alpha_schedule)
+  time_alpha_sched = schedules.from_config(train_config.time_alpha_schedule)
+  state = training.create_train_state(params)
+
+  mesh = mesh_lib.create_mesh()
+  render_fn = evaluation.make_render_fn(model, mesh)
+  render_fn = functools.partial(render_fn)
+
+  summary_writer = _make_summary_writer(summary_dir) \
+      if jax.process_index() == 0 else None
+
+  val_ids = utils.strided_subset(datasource.val_ids,
+                                 eval_config.num_val_eval)
+  train_ids = utils.strided_subset(datasource.train_ids,
+                                   eval_config.num_train_eval)
+  test_cameras = datasource.load_test_cameras(
+      count=eval_config.num_test_eval)
+
+  last_step = 0
+  while True:
+    step = checkpoints.latest_checkpoint_step(checkpoint_dir)
+    if step is None or step <= last_step:
+      if eval_config.eval_once:
+        break
+      logging.info('No new checkpoint (last=%d); sleeping.', last_step)
+      time.sleep(10)
+      continue
+
+    state = checkpoints.restore_checkpoint(checkpoint_dir, state)
+    state = state.replace(
+        warp_alpha=jnp.asarray(warp_alpha_sched(step), jnp.float32),
+        time_alpha=jnp.asarray(time_alpha_sched(step), jnp.float32))
+    logging.info('Evaluating checkpoint at step %d', step)
+
+    save_dir = (render_root / f'{step}') if eval_config.save_output else None
+    chunked_render_fn = functools.partial(render_fn)
+
+    def run_render(tag, ids):
+      iterator = datasource.create_iterator(ids, batch_size=0, repeat=False)
+      return process_iterator(
+          tag=tag, item_ids=ids, iterator=iterator, rng=rng, state=state,
+          step=step, render_fn=chunked_render_fn,
+          summary_writer=summary_writer, save_dir=save_dir,
+          datasource=datasource)
+
+    if val_ids:
+      run_render('val', val_ids)
+    if train_ids:
+      run_render('train', train_ids)
+    if test_cameras:
+      test_metadata = {}
+      if model_config.use_warp:
+        test_metadata['warp'] = datasource.warp_ids[0]
+      if model_config.use_appearance_metadata:
+        test_metadata['appearance'] = datasource.appearance_ids[0]
+      if model_config.use_camera_metadata:
+        test_metadata['camera'] = datasource.camera_ids[0]
+      if model_config.warp_metadata_encoder_type == 'time':
+        test_metadata['time'] = 0.0
+      iterator = _test_cameras_iterator(datasource, test_cameras,
+                                        test_metadata)
+      process_iterator(
+          tag='test', item_ids=[f'{i:04d}' for i in range(len(test_cameras))],
+          iterator=iterator, rng=rng, state=state, step=step,
+          render_fn=chunked_render_fn, summary_writer=summary_writer,
+          save_dir=save_dir, datasource=datasource)
+
+    if eval_config.save_output:
+      delete_old_renders(render_root, eval_config.max_render_checkpoints)
+
+    last_step = step
+    if eval_config.eval_once:
+      break
+
+
+if __name__ == '__main__':
+  app.run(main)

@@ -27,17 +27,23 @@ def make_render_fn(model, mesh, use_warp: bool = True) -> Callable:
   data_sharding = mesh_lib.batch_sharding(mesh)
   repl = mesh_lib.replicated_sharding(mesh)
 
-  def model_fn(params, rays_dict, warp_extra):
+  def model_fn(params, rays_dict, warp_extra, rng):
+    # Stratified-sampling models need named rngs even at render time
+    # (parity with the reference's key_0/key_1 plumbing, eval.py:330-348).
+    key_coarse, key_fine = jax.random.split(rng)
     return model.apply({'params': params}, rays_dict,
                        warp_extra=warp_extra,
-                       use_warp=use_warp)
+                       use_warp=use_warp,
+                       rngs={'coarse': key_coarse, 'fine': key_fine})
 
-  jitted = jax.jit(model_fn, in_shardings=(repl, data_sharding, repl),
+  jitted = jax.jit(model_fn, in_shardings=(repl, data_sharding, repl, repl),
                    out_shardings=repl)
 
-  def run(params, rays_dict, warp_extra):
+  def run(params, rays_dict, warp_extra, rng=None):
+    if rng is None:
+      rng = jax.random.PRNGKey(0)
     rays_dict = mesh_lib.shard_batch(rays_dict, data_sharding)
-    return jitted(params, rays_dict, warp_extra)
+    return jitted(params, rays_dict, warp_extra, rng)
 
   return run
 
@@ -56,7 +62,8 @@ def render_image(
     state: TrainState (params + warp alphas).
     rays_dict: (H, W, ...) ray arrays (+ nested 'metadata').
     model_fn: callable from `make_render_fn`.
-    rng: unused (eval renders deterministically); kept for API parity.
+    rng: PRNG key threaded to the model's named streams (stratified
+      models); deterministic models ignore it.
     chunk: rays per dispatch.
     device_multiple: pad each chunk to this multiple (defaults to the
       device count) so shards stay equal-sized.
@@ -65,7 +72,8 @@ def render_image(
   Returns:
     Dict of (H, W, ...) numpy maps: rgb, depth, med_depth, acc.
   """
-  del rng
+  if rng is None:
+    rng = jax.random.PRNGKey(0)
   if device_multiple is None:
     device_multiple = jax.device_count()
   h, w = rays_dict['origins'].shape[:2]
@@ -86,7 +94,7 @@ def render_image(
       chunk_rays = jax.tree.map(
           lambda x: np.pad(x, ((0, padding), (0, 0)), mode='edge'),
           chunk_rays)
-    model_out = model_fn(state.params, chunk_rays, state.warp_extra)
+    model_out = model_fn(state.params, chunk_rays, state.warp_extra, rng)
     ret_key = default_ret_key or ('fine' if 'fine' in model_out else 'coarse')
     ret_map = jax.device_get(model_out[ret_key])
     if padding:
