@@ -82,6 +82,11 @@ class ModelConfig:
   # Run the NeRF/warp MLP matmuls in bfloat16 with float32 accumulation and
   # compositing. MXU-friendly; ~2x matmul throughput on TPU.
   use_bfloat16: bool = False
+  # Rematerialize MLP activations in the backward pass (jax.checkpoint).
+  # Trades ~1/3 extra forward FLOPs for O(width * samples) less HBM --
+  # required to fit the quarter-HD batch (6144 rays x 256 samples) on a
+  # single 16 GB chip.
+  use_remat: bool = True
   # Use the fused Pallas ray-march kernel for the MLP+compositing hot path.
   use_fused_raymarch: bool = False
 

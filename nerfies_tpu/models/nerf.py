@@ -84,6 +84,7 @@ class NerfModel(nn.Module):
   use_trunk_condition: bool = False
   use_alpha_condition: bool = False
   use_rgb_condition: bool = False
+  use_remat: bool = True
   warp_kwargs: Mapping[str, Any] = FrozenDict()
 
   metadata_encoded: bool = False
@@ -108,6 +109,7 @@ class NerfModel(nn.Module):
           num_embeddings=self.num_warp_embeddings,
           num_features=self.num_warp_features,
           metadata_encoder_type=self.warp_metadata_encoder_type,
+          use_remat=self.use_remat,
           **dict(self.warp_kwargs))
 
     if self.use_appearance_metadata:
@@ -119,8 +121,12 @@ class NerfModel(nn.Module):
           num_embeddings=self.num_camera_embeddings,
           features=self.num_camera_features)
 
+    # Rematerialization: recompute trunk activations in the backward pass
+    # instead of holding (B, S, width) f32 tensors in HBM per layer.
+    nerf_mlp_cls = (nn.remat(modules.NerfMLP)
+                    if self.use_remat else modules.NerfMLP)
     nerf_mlps = {
-        'coarse': modules.NerfMLP(
+        'coarse': nerf_mlp_cls(
             trunk_depth=self.nerf_trunk_depth,
             trunk_width=self.nerf_trunk_width,
             rgb_branch_depth=self.nerf_rgb_branch_depth,
@@ -131,7 +137,7 @@ class NerfModel(nn.Module):
             rgb_channels=self.rgb_channels)
     }
     if self.num_fine_samples > 0:
-      nerf_mlps['fine'] = modules.NerfMLP(
+      nerf_mlps['fine'] = nerf_mlp_cls(
           trunk_depth=self.nerf_trunk_depth,
           trunk_width=self.nerf_trunk_width,
           rgb_branch_depth=self.nerf_rgb_branch_depth,
@@ -376,6 +382,7 @@ def construct_nerf(key,
       warp_field_type=config.warp_field_type,
       warp_metadata_encoder_type=config.warp_metadata_encoder_type,
       warp_kwargs=FrozenDict(config.warp_kwargs),
+      use_remat=config.use_remat,
   )
 
   init_rays_dict = {

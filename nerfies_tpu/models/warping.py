@@ -32,7 +32,7 @@ from nerfies_tpu.ops import rigid
 
 def create_warp_field(field_type: str, num_freqs: int, num_embeddings: int,
                       num_features: int, metadata_encoder_type: str = 'glo',
-                      **kwargs):
+                      use_remat: bool = False, **kwargs):
   """Factory for warp fields (parity: reference warping.py:29-59).
 
   Unlike the reference there is no `num_batch_dims`: fields are natively
@@ -44,6 +44,10 @@ def create_warp_field(field_type: str, num_freqs: int, num_embeddings: int,
     field_cls = SE3Field
   else:
     raise ValueError(f'Unknown warp field type: {field_type!r}')
+  if use_remat:
+    # __call__(self, points, metadata, extra, return_jacobian,
+    # metadata_encoded): the two trailing bools are trace-static.
+    field_cls = nn.remat(field_cls, static_argnums=(4, 5))
   return field_cls(
       num_freqs=num_freqs,
       num_embeddings=num_embeddings,

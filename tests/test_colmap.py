@@ -1,0 +1,156 @@
+"""COLMAP interop: bin/txt round-trips, camera models, database."""
+
+import numpy as np
+import pytest
+
+from nerfies_tpu.colmap import camera as colmap_camera
+from nerfies_tpu.colmap import COLMAPDatabase
+from nerfies_tpu.colmap import ColmapCamera
+from nerfies_tpu.colmap import Image
+from nerfies_tpu.colmap import Quaternion
+from nerfies_tpu.colmap import SceneManager
+from nerfies_tpu.colmap.rotation import DualQuaternion
+
+
+def _build_scene():
+  mgr = SceneManager('/nonexistent')
+  mgr.cameras[1] = ColmapCamera(
+      1, 'OPENCV', 640, 480,
+      [520.0, 525.0, 320.0, 240.0, 0.02, -0.005, 0.001, -0.0005])
+  mgr.cameras[2] = ColmapCamera(2, 'SIMPLE_PINHOLE', 320, 240,
+                                [260.0, 160.0, 120.0])
+  rng = np.random.RandomState(0)
+  for image_id in (1, 2, 3):
+    q = rng.randn(4)
+    q /= np.linalg.norm(q)
+    points2D = rng.uniform(0, 640, (5, 2))
+    point_ids = np.asarray([1, 2, -1, 3, -1], np.int64)
+    mgr.images[image_id] = Image(
+        image_id, f'frame_{image_id:04d}.png', 1 + image_id % 2, q,
+        rng.randn(3), points2D, point_ids)
+  mgr.name_to_image_id = {im.name: i for i, im in mgr.images.items()}
+  ids = [1, 2, 3]
+  mgr._set_points(
+      ids, rng.randn(3, 3), rng.randint(0, 255, (3, 3)),
+      rng.uniform(0, 2, 3),
+      [[(1, 0), (2, 1)], [(1, 1)], [(1, 3), (2, 0), (3, 2)]])
+  mgr.point3D_id_to_point3D_idx = {pid: i for i, pid in enumerate(ids)}
+  return mgr
+
+
+def _assert_scenes_equal(a, b):
+  assert set(a.cameras) == set(b.cameras)
+  for cid in a.cameras:
+    np.testing.assert_allclose(a.cameras[cid].params, b.cameras[cid].params)
+    assert a.cameras[cid].model_name == b.cameras[cid].model_name
+    assert (a.cameras[cid].width, a.cameras[cid].height) == \
+        (b.cameras[cid].width, b.cameras[cid].height)
+  assert set(a.images) == set(b.images)
+  for iid in a.images:
+    np.testing.assert_allclose(a.images[iid].qvec, b.images[iid].qvec,
+                               atol=1e-12)
+    np.testing.assert_allclose(a.images[iid].tvec, b.images[iid].tvec,
+                               atol=1e-12)
+    np.testing.assert_allclose(a.images[iid].points2D,
+                               b.images[iid].points2D, atol=1e-9)
+    np.testing.assert_array_equal(a.images[iid].point3D_ids,
+                                  b.images[iid].point3D_ids)
+    assert a.images[iid].name == b.images[iid].name
+  np.testing.assert_allclose(a.points3D, b.points3D, atol=1e-12)
+  np.testing.assert_array_equal(a.point3D_colors, b.point3D_colors)
+  assert a.point3D_tracks == b.point3D_tracks
+
+
+@pytest.mark.parametrize('binary', [True, False])
+def test_scene_roundtrip(tmp_path, binary):
+  scene = _build_scene()
+  scene.save(tmp_path, binary=binary)
+  loaded = SceneManager(tmp_path).load()
+  _assert_scenes_equal(scene, loaded)
+
+
+def test_point_filtering():
+  scene = _build_scene()
+  pts = scene.get_filtered_points3D(min_track_len=2)
+  assert pts.shape == (2, 3)
+  scene.filter_points3D(min_track_len=3)
+  assert scene.points3D.shape == (1, 3)
+  assert len(scene.point3D_tracks) == 1
+
+
+def test_camera_model_projection_roundtrip():
+  cam = ColmapCamera(
+      1, 'OPENCV', 640, 480,
+      [520.0, 525.0, 320.0, 240.0, 0.02, -0.005, 0.001, -0.0005])
+  rng = np.random.RandomState(1)
+  points = np.concatenate(
+      [rng.uniform(-0.5, 0.5, (32, 2)), rng.uniform(1.0, 3.0, (32, 1))], -1)
+  pixels = cam.world_to_image(points)
+  xy = cam.image_to_normalized(pixels)
+  np.testing.assert_allclose(xy, points[:, :2] / points[:, 2:], atol=1e-6)
+
+
+def test_camera_model_params_validation():
+  with pytest.raises(ValueError):
+    ColmapCamera(1, 'OPENCV', 640, 480, [1.0, 2.0])
+  cam = ColmapCamera(1, 'SIMPLE_RADIAL', 64, 48, [50.0, 32.0, 24.0, 0.1])
+  assert cam.focal == (50.0, 50.0)
+  assert cam.principal_point == (32.0, 24.0)
+
+
+def test_image_pose():
+  q = Quaternion.from_axis_angle([0, 0, 1], np.pi / 2)
+  image = Image(1, 'a.png', 1, q.q, [1.0, 0.0, 0.0])
+  R = image.R()
+  np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+  # C = -R^T t
+  np.testing.assert_allclose(image.C(), -R.T @ [1.0, 0.0, 0.0], atol=1e-12)
+
+
+def test_quaternion_rotation_matrix_roundtrip():
+  rng = np.random.RandomState(2)
+  for _ in range(10):
+    q = rng.randn(4)
+    q /= np.linalg.norm(q)
+    quat = Quaternion(q)
+    R = quat.to_rotation_matrix()
+    q_back = Quaternion.from_rotation_matrix(R).q
+    sign = np.sign(q_back @ q)
+    np.testing.assert_allclose(sign * q_back, q, atol=1e-10)
+
+
+def test_dual_quaternion_transform():
+  q = Quaternion.from_axis_angle([0, 1, 0], 0.7)
+  t = np.asarray([0.5, -1.0, 2.0])
+  dq = DualQuaternion.from_rt(q, t)
+  v = np.asarray([1.0, 2.0, 3.0])
+  np.testing.assert_allclose(dq.transform(v), q.rotate(v) + t, atol=1e-10)
+  r_back, t_back = dq.to_rt()
+  np.testing.assert_allclose(t_back, t, atol=1e-10)
+
+
+def test_colmap_database(tmp_path):
+  db = COLMAPDatabase.connect(tmp_path / 'database.db')
+  db.create_tables()
+  cam_id = db.add_camera(model=4, width=640, height=480,
+                         params=[520, 525, 320, 240, 0, 0, 0, 0])
+  img1 = db.add_image('a.png', cam_id)
+  img2 = db.add_image('b.png', cam_id)
+  rng = np.random.RandomState(3)
+  kps = rng.uniform(0, 640, (100, 2)).astype(np.float32)
+  db.add_keypoints(img1, kps)
+  db.add_descriptors(img1, rng.randint(0, 255, (100, 128)).astype(np.uint8))
+  matches = rng.randint(0, 100, (40, 2)).astype(np.uint32)
+  db.add_matches(img1, img2, matches)
+  db.add_two_view_geometry(img1, img2, matches)
+  db.commit()
+
+  model, width, height, params = db.get_camera(cam_id)
+  assert model == 4 and width == 640 and height == 480
+  np.testing.assert_allclose(params[:2], [520, 525])
+  np.testing.assert_allclose(db.get_keypoints(img1), kps)
+  np.testing.assert_array_equal(db.get_matches(img1, img2), matches)
+  # Reversed query flips match columns.
+  np.testing.assert_array_equal(db.get_matches(img2, img1),
+                                matches[:, ::-1])
+  db.close()
