@@ -43,6 +43,9 @@ class MLP(nn.Module):
   output_activation: Optional[Activation] = None
   use_bias: bool = True
   skips: Tuple[int, ...] = ()
+  # Compute dtype: None = inputs' dtype; jnp.bfloat16 runs the matmuls on
+  # the MXU at 2x throughput (params stay float32).
+  dtype: Any = None
 
   @nn.compact
   def __call__(self, x):
@@ -54,6 +57,7 @@ class MLP(nn.Module):
           self.width,
           use_bias=self.use_bias,
           kernel_init=self.hidden_init,
+          dtype=self.dtype,
           name=f'hidden_{i}')(x)
       x = self.hidden_activation(x)
     if self.output_channels > 0:
@@ -62,6 +66,7 @@ class MLP(nn.Module):
           self.output_channels,
           use_bias=self.use_bias,
           kernel_init=output_init,
+          dtype=self.dtype,
           name='logit')(x)
       if self.output_activation is not None:
         x = self.output_activation(x)
@@ -82,12 +87,16 @@ class SplitDense(nn.Module):
   use_bias: bool = True
   kernel_init: Initializer = nn.initializers.xavier_uniform()
   bias_init: Initializer = nn.initializers.zeros
+  dtype: Any = None
 
   @nn.compact
   def __call__(self, inputs: Sequence[jnp.ndarray]) -> jnp.ndarray:
     in_dims = [x.shape[-1] for x in inputs]
     kernel = self.param('kernel', self.kernel_init,
                         (sum(in_dims), self.features))
+    if self.dtype is not None:
+      kernel = kernel.astype(self.dtype)
+      inputs = [x.astype(self.dtype) for x in inputs]
     out = None
     offset = 0
     for x, dim in zip(inputs, in_dims):
@@ -96,6 +105,8 @@ class SplitDense(nn.Module):
       offset += dim
     if self.use_bias:
       bias = self.param('bias', self.bias_init, (self.features,))
+      if self.dtype is not None:
+        bias = bias.astype(self.dtype)
       out = out + bias
     return out
 
@@ -124,6 +135,7 @@ class NerfMLP(nn.Module):
 
   activation: Activation = nn.relu
   skips: Tuple[int, ...] = (4,)
+  dtype: Any = None
 
   @nn.compact
   def __call__(self, x, trunk_condition, alpha_condition, rgb_condition):
@@ -148,13 +160,13 @@ class NerfMLP(nn.Module):
     for i in range(self.trunk_depth):
       layer_inputs = trunk_inputs if h is None else (
           [h] + trunk_inputs if i in self.skips else [h])
-      h = SplitDense(self.trunk_width, kernel_init=glorot,
+      h = SplitDense(self.trunk_width, kernel_init=glorot, dtype=self.dtype,
                      name=f'trunk_hidden_{i}')(layer_inputs)
       h = self.activation(h)
 
     if (alpha_condition is not None) or (rgb_condition is not None):
       bottleneck = nn.Dense(self.trunk_width, kernel_init=glorot,
-                            name='bottleneck')(h)
+                            dtype=self.dtype, name='bottleneck')(h)
     else:
       bottleneck = None
 
@@ -165,12 +177,15 @@ class NerfMLP(nn.Module):
         inputs = [bottleneck, condition]
       y = None
       for i in range(depth):
-        y = SplitDense(width, kernel_init=glorot,
+        y = SplitDense(width, kernel_init=glorot, dtype=self.dtype,
                        name=f'{name}_hidden_{i}')(inputs if y is None else [y])
         y = self.activation(y)
       final_inputs = inputs if y is None else [y]
-      return SplitDense(out_channels, kernel_init=glorot,
-                        name=f'{name}_logit')(final_inputs)
+      # Head outputs return to float32 for sigma/rgb activations and
+      # compositing.
+      return SplitDense(out_channels, kernel_init=glorot, dtype=self.dtype,
+                        name=f'{name}_logit')(final_inputs).astype(
+                            jnp.float32)
 
     alpha = branch('alpha', alpha_condition, self.alpha_branch_depth,
                    self.alpha_branch_width, self.alpha_channels)

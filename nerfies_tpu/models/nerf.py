@@ -85,6 +85,7 @@ class NerfModel(nn.Module):
   use_alpha_condition: bool = False
   use_rgb_condition: bool = False
   use_remat: bool = True
+  use_bfloat16: bool = False
   warp_kwargs: Mapping[str, Any] = FrozenDict()
 
   metadata_encoded: bool = False
@@ -101,6 +102,10 @@ class NerfModel(nn.Module):
   def num_camera_embeddings(self):
     return max(self.camera_ids) + 1
 
+  @property
+  def compute_dtype(self):
+    return jnp.bfloat16 if self.use_bfloat16 else None
+
   def setup(self):
     if self.use_warp:
       self.warp_field = warping.create_warp_field(
@@ -110,6 +115,7 @@ class NerfModel(nn.Module):
           num_features=self.num_warp_features,
           metadata_encoder_type=self.warp_metadata_encoder_type,
           use_remat=self.use_remat,
+          dtype=self.compute_dtype,
           **dict(self.warp_kwargs))
 
     if self.use_appearance_metadata:
@@ -134,7 +140,8 @@ class NerfModel(nn.Module):
             activation=self.activation,
             skips=self.nerf_skips,
             alpha_channels=self.alpha_channels,
-            rgb_channels=self.rgb_channels)
+            rgb_channels=self.rgb_channels,
+            dtype=self.compute_dtype)
     }
     if self.num_fine_samples > 0:
       nerf_mlps['fine'] = nerf_mlp_cls(
@@ -145,7 +152,8 @@ class NerfModel(nn.Module):
           activation=self.activation,
           skips=self.nerf_skips,
           alpha_channels=self.alpha_channels,
-          rgb_channels=self.rgb_channels)
+          rgb_channels=self.rgb_channels,
+          dtype=self.compute_dtype)
     self.nerf_mlps = nerf_mlps
 
   def get_condition_inputs(self, viewdirs, metadata, metadata_encoded=False):
@@ -383,6 +391,7 @@ def construct_nerf(key,
       warp_metadata_encoder_type=config.warp_metadata_encoder_type,
       warp_kwargs=FrozenDict(config.warp_kwargs),
       use_remat=config.use_remat,
+      use_bfloat16=config.use_bfloat16,
   )
 
   init_rays_dict = {

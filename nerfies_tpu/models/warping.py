@@ -134,6 +134,7 @@ class TranslationField(nn.Module, _MetadataEncoderMixin):
   activation: Any = nn.relu
   hidden_init: Any = nn.initializers.xavier_uniform()
   output_init: Any = nn.initializers.uniform(scale=1e-4)
+  dtype: Any = None
 
   def setup(self):
     self._setup_metadata_encoder()
@@ -144,7 +145,8 @@ class TranslationField(nn.Module, _MetadataEncoderMixin):
         hidden_init=self.hidden_init,
         hidden_activation=self.activation,
         output_init=self.output_init,
-        output_channels=3)
+        output_channels=3,
+        dtype=self.dtype)
 
   def warp(self, points: jnp.ndarray, metadata_embed: jnp.ndarray,
            extra: Dict[str, Any]) -> jnp.ndarray:
@@ -160,7 +162,7 @@ class TranslationField(nn.Module, _MetadataEncoderMixin):
         metadata_embed,
         points.shape[:-1] + (self.num_embedding_features,))
     inputs = jnp.concatenate([points_embed, metadata_embed], axis=-1)
-    return points + self.mlp(inputs)
+    return points + self.mlp(inputs).astype(points.dtype)
 
   def __call__(self, points: jnp.ndarray, metadata: jnp.ndarray,
                extra: Dict[str, Any], return_jacobian: bool = False,
@@ -219,6 +221,7 @@ class SE3Field(nn.Module, _MetadataEncoderMixin):
   rotation_init: Any = nn.initializers.uniform(scale=1e-4)
   pivot_init: Any = nn.initializers.uniform(scale=1e-4)
   translation_init: Any = nn.initializers.uniform(scale=1e-4)
+  dtype: Any = None
 
   use_pivot: bool = False
   use_translation: bool = False
@@ -230,7 +233,8 @@ class SE3Field(nn.Module, _MetadataEncoderMixin):
         width=self.trunk_width,
         hidden_activation=self.activation,
         hidden_init=self.default_init,
-        skips=self.skips)
+        skips=self.skips,
+        dtype=self.dtype)
 
     branches = {
         'w': modules.MLP(
@@ -239,14 +243,16 @@ class SE3Field(nn.Module, _MetadataEncoderMixin):
             hidden_activation=self.activation,
             hidden_init=self.default_init,
             output_init=self.rotation_init,
-            output_channels=3),
+            output_channels=3,
+            dtype=self.dtype),
         'v': modules.MLP(
             depth=self.pivot_depth,
             width=self.pivot_width,
             hidden_activation=self.activation,
             hidden_init=self.default_init,
             output_init=self.pivot_init,
-            output_channels=3),
+            output_channels=3,
+            dtype=self.dtype),
     }
     if self.use_pivot:
       branches['p'] = modules.MLP(
@@ -282,16 +288,18 @@ class SE3Field(nn.Module, _MetadataEncoderMixin):
     inputs = jnp.concatenate([points_embed, metadata_embed], axis=-1)
     trunk_output = self.trunk(inputs)
 
-    w = self.branches['w'](trunk_output)
-    v = self.branches['v'](trunk_output)
+    # Screw-axis math stays float32 regardless of the MLP compute dtype:
+    # the theta normalization is a numerical cliff in bf16.
+    w = self.branches['w'](trunk_output).astype(jnp.float32)
+    v = self.branches['v'](trunk_output).astype(jnp.float32)
     theta = jnp.linalg.norm(w, axis=-1)
     w = w / theta[..., None]
     v = v / theta[..., None]
     screw_axis = jnp.concatenate([w, v], axis=-1)
 
-    warped_points = points
+    warped_points = points.astype(jnp.float32)
     if self.use_pivot:
-      pivot = self.branches['p'](trunk_output)
+      pivot = self.branches['p'](trunk_output).astype(jnp.float32)
       warped_points = warped_points + pivot
 
     warped_points = rigid.se3_apply(screw_axis, theta, warped_points)
@@ -299,7 +307,8 @@ class SE3Field(nn.Module, _MetadataEncoderMixin):
     if self.use_pivot:
       warped_points = warped_points - pivot
     if self.use_translation:
-      warped_points = warped_points + self.branches['t'](trunk_output)
+      warped_points = warped_points + self.branches['t'](
+          trunk_output).astype(jnp.float32)
     return warped_points
 
   def __call__(self, points: jnp.ndarray, metadata: jnp.ndarray,
