@@ -86,6 +86,7 @@ class NerfModel(nn.Module):
   use_rgb_condition: bool = False
   use_remat: bool = True
   use_bfloat16: bool = False
+  use_fused_raymarch: bool = False
   warp_kwargs: Mapping[str, Any] = FrozenDict()
 
   metadata_encoded: bool = False
@@ -392,6 +393,7 @@ def construct_nerf(key,
       warp_kwargs=FrozenDict(config.warp_kwargs),
       use_remat=config.use_remat,
       use_bfloat16=config.use_bfloat16,
+      use_fused_raymarch=config.use_fused_raymarch,
   )
 
   init_rays_dict = {

@@ -70,9 +70,14 @@ def _raymarch_kernel(
     sample_at_infinity: bool,
     tile_s: int,
     dtype,
+    return_weights: bool,
 ):
-  out_ref = args[-1]
-  weight_refs = args[:-1]
+  if return_weights:
+    out_ref, weights_out_ref = args[-2], args[-1]
+    weight_refs = args[:-2]
+  else:
+    out_ref = args[-1]
+    weight_refs = args[:-1]
 
   tb, total_s, _ = points_ref.shape
   num_blocks = total_s // tile_s
@@ -182,6 +187,9 @@ def _raymarch_kernel(
     t_within = jnp.exp(excl)
     weights = alpha * t_within * trans[:, None]
 
+    if return_weights:
+      weights_out_ref[:, pl.ds(t * tile_s, tile_s)] = weights
+
     # Per-ray accumulators.
     rgb_acc = rgb_acc + jnp.sum(weights[..., None] * rgb, axis=1)
     depth_acc = depth_acc + jnp.sum(weights * z, axis=1)
@@ -266,6 +274,7 @@ def fused_render_level(params: Dict[str, Any],
                        tile_b: int = 32,
                        tile_s: int = 64,
                        use_bfloat16: bool = True,
+                       return_weights: bool = False,
                        interpret: bool = False) -> Dict[str, jnp.ndarray]:
   """Renders one sampling level with the fused Pallas kernel.
 
@@ -318,6 +327,7 @@ def fused_render_level(params: Dict[str, Any],
       sample_at_infinity=sample_at_infinity,
       tile_s=tile_s,
       dtype=jnp.bfloat16 if use_bfloat16 else jnp.float32,
+      return_weights=return_weights,
   )
 
   grid = (batch // tile_b,)
@@ -334,19 +344,33 @@ def fused_render_level(params: Dict[str, Any],
   ]
   in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
 
+  out_specs = pl.BlockSpec((tile_b, 8), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+  out_shape = jax.ShapeDtypeStruct((batch, 8), jnp.float32)
+  if return_weights:
+    out_specs = (out_specs,
+                 pl.BlockSpec((tile_b, total_s), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM))
+    out_shape = (out_shape,
+                 jax.ShapeDtypeStruct((batch, total_s), jnp.float32))
+
   out = pl.pallas_call(
       kernel,
       grid=grid,
       in_specs=in_specs,
-      out_specs=pl.BlockSpec((tile_b, 8), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((batch, 8), jnp.float32),
+      out_specs=out_specs,
+      out_shape=out_shape,
       interpret=interpret,
   )(points, z_vals, dists, cond, *weights)
 
-  return {
+  if return_weights:
+    out, level_weights = out
+  result = {
       'rgb': out[:, 0:3],
       'depth': out[:, 3],
       'med_depth': out[:, 4],
       'acc': out[:, 5],
   }
+  if return_weights:
+    result['weights'] = level_weights
+  return result

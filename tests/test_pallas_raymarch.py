@@ -122,3 +122,50 @@ def test_fused_bf16_close():
   bf16 = raymarch.fused_render_level(
       params, points, z_vals, directions, cond, use_bfloat16=True, **kwargs)
   assert np.abs(np.asarray(f32['rgb']) - np.asarray(bf16['rgb'])).max() < 0.05
+
+
+def test_fused_full_pipeline_matches_model():
+  """fused_render_rays (coarse+fine+warp+conditions) vs NerfModel.apply."""
+  import flax.linen as nn
+  from nerfies_tpu import configs
+  from nerfies_tpu import evaluation
+  from nerfies_tpu.models import nerf as nerf_lib
+
+  config = configs.ModelConfig(
+      num_coarse_samples=32, num_fine_samples=32,
+      nerf_trunk_depth=4, nerf_trunk_width=64,
+      nerf_rgb_branch_depth=1, nerf_rgb_branch_width=32,
+      nerf_skips=(2,), num_nerf_point_freqs=4, num_nerf_viewdir_freqs=2,
+      num_warp_freqs=2, use_warp=True, warp_field_type='se3',
+      num_warp_features=3,
+      warp_kwargs={'trunk_depth': 2, 'trunk_width': 16},
+      sigma_activation=nn.softplus, use_stratified_sampling=False,
+      use_camera_metadata=True)
+  model, params = nerf_lib.construct_nerf(
+      jax.random.PRNGKey(0), config, batch_size=32,
+      appearance_ids=(0,), camera_ids=(0, 1), warp_ids=(0, 1),
+      near=0.5, far=3.0)
+
+  d = jax.random.normal(jax.random.PRNGKey(1), (32, 3))
+  d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+  rays = {
+      'origins': jnp.zeros((32, 3)),
+      'directions': d,
+      'metadata': {
+          'warp': jnp.zeros((32, 1), jnp.uint32),
+          'camera': jnp.ones((32, 1), jnp.uint32),
+          'appearance': jnp.zeros((32, 1), jnp.uint32),
+          'time': jnp.zeros((32, 1), jnp.float32),
+      },
+  }
+  warp_extra = {'alpha': jnp.asarray(2.0), 'time_alpha': jnp.asarray(0.0)}
+  ref = model.apply({'params': params}, rays, warp_extra=warp_extra)
+  got = evaluation.fused_render_rays(
+      model, params, rays, warp_extra, tile_b=16, tile_s=16, interpret=True)
+  for level in ('coarse', 'fine'):
+    np.testing.assert_allclose(np.asarray(got[level]['rgb']),
+                               np.asarray(ref[level]['rgb']), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got[level]['acc']),
+                               np.asarray(ref[level]['acc']), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got[level]['depth']),
+                               np.asarray(ref[level]['depth']), atol=3e-4)
