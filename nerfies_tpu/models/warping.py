@@ -56,23 +56,25 @@ def create_warp_field(field_type: str, num_freqs: int, num_embeddings: int,
       **kwargs)
 
 
-def _pointwise_jacobian(warp_fn, points: jnp.ndarray) -> jnp.ndarray:
-  """Jacobian of a pointwise map via 3 broadcast JVP columns.
+def _pointwise_jacobian(warp_fn, points: jnp.ndarray):
+  """Primal + Jacobian of a pointwise map via 3 broadcast tangent columns.
 
   `warp_fn` maps (..., 3) -> (..., 3) with each output point depending only
   on its own input point; a constant basis tangent therefore extracts one
-  full Jacobian column per JVP.
+  full Jacobian column per linear pass. `jax.linearize` shares one primal
+  evaluation across the three columns (vs 3 primal+tangent evaluations for
+  repeated `jax.jvp`), and the primal is returned so the caller skips its
+  own forward pass entirely.
 
   Returns:
-    (..., 3, 3) Jacobians with J[..., i, j] = d out_i / d in_j.
+    (warped (..., 3), jacobian (..., 3, 3)) with
+    J[..., i, j] = d out_i / d in_j.
   """
+  warped, jvp_fn = jax.linearize(warp_fn, points)
   eye = jnp.eye(3, dtype=points.dtype)
-  columns = []
-  for j in range(3):
-    tangent = jnp.broadcast_to(eye[j], points.shape)
-    _, col = jax.jvp(warp_fn, (points,), (tangent,))
-    columns.append(col)
-  return jnp.stack(columns, axis=-1)
+  columns = [jvp_fn(jnp.broadcast_to(eye[j], points.shape))
+             for j in range(3)]
+  return warped, jnp.stack(columns, axis=-1)
 
 
 class _MetadataEncoderMixin:
@@ -184,11 +186,11 @@ class TranslationField(nn.Module, _MetadataEncoderMixin):
     else:
       metadata_embed = self.encode_metadata(metadata, extra.get('time_alpha'))
 
-    out = {'warped_points': self.warp(points, metadata_embed, extra)}
     if return_jacobian:
-      out['jacobian'] = _pointwise_jacobian(
+      warped, jacobian = _pointwise_jacobian(
           lambda p: self.warp(p, metadata_embed, extra), points)
-    return out
+      return {'warped_points': warped, 'jacobian': jacobian}
+    return {'warped_points': self.warp(points, metadata_embed, extra)}
 
 
 class SE3Field(nn.Module, _MetadataEncoderMixin):
@@ -323,8 +325,8 @@ class SE3Field(nn.Module, _MetadataEncoderMixin):
     else:
       metadata_embed = self.encode_metadata(metadata, extra.get('time_alpha'))
 
-    out = {'warped_points': self.warp(points, metadata_embed, extra)}
     if return_jacobian:
-      out['jacobian'] = _pointwise_jacobian(
+      warped, jacobian = _pointwise_jacobian(
           lambda p: self.warp(p, metadata_embed, extra), points)
-    return out
+      return {'warped_points': warped, 'jacobian': jacobian}
+    return {'warped_points': self.warp(points, metadata_embed, extra)}
