@@ -28,7 +28,8 @@ from nerfies_tpu.parallel import mesh as mesh_lib
 BASELINE_RAYS_PER_SEC_PER_GPU = 6144 * 250_000 / (14 * 3600) / 8  # ~3810
 
 
-def build_workload(batch_size: int, use_fused: bool = False):
+def build_workload(batch_size: int, use_fused: bool = False,
+                   use_bfloat16: bool = True):
   model_config = configs.ModelConfig(
       num_coarse_samples=128,
       num_fine_samples=128,
@@ -49,6 +50,11 @@ def build_workload(batch_size: int, use_fused: bool = False):
       use_stratified_sampling=True,
       use_sample_at_infinity=True,
       use_fused_raymarch=use_fused,
+      # The recommended TPU execution mode: bf16 MXU matmuls (f32 params,
+      # f32 compositing) + activation remat. Same workload as the
+      # reference's f32 training; quality parity is covered by the bf16
+      # fit test in tests/test_bfloat16.py.
+      use_bfloat16=use_bfloat16,
   )
   train_config = configs.TrainConfig(
       batch_size=batch_size,

@@ -81,3 +81,48 @@ def test_bf16_training_step():
   for leaf in jax.tree.leaves(new_state.params):
     assert leaf.dtype == jnp.float32
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_bf16_fit_improves_psnr():
+  """bf16 training must actually fit a scene, not just run."""
+  import numpy as np
+  from nerfies_tpu.datasets import synthetic
+  from nerfies_tpu.datasets import nerfies as nerfies_ds
+  from nerfies_tpu.datasets import core as ds_core
+  from nerfies_tpu.parallel import mesh as mesh_lib
+  import tempfile
+
+  with tempfile.TemporaryDirectory() as tmp:
+    synthetic.write_synthetic_dataset(tmp, num_train=4, num_val=1,
+                                      image_size=(32, 24))
+    ds = nerfies_ds.NerfiesDataSource(data_dir=tmp, image_scale=1,
+                                      use_warp_id=True, random_seed=0)
+    config = configs.ModelConfig(
+        num_coarse_samples=16, num_fine_samples=16,
+        nerf_trunk_depth=3, nerf_trunk_width=48,
+        nerf_rgb_branch_depth=1, nerf_rgb_branch_width=16,
+        nerf_skips=(2,), num_nerf_point_freqs=4, num_nerf_viewdir_freqs=1,
+        use_warp=True, warp_field_type='se3', num_warp_freqs=2,
+        num_warp_features=3,
+        warp_kwargs={'trunk_depth': 2, 'trunk_width': 16},
+        sigma_activation=nn.softplus, use_bfloat16=True)
+    model, params = nerf.construct_nerf(
+        jax.random.PRNGKey(0), config, batch_size=256,
+        appearance_ids=(0,), camera_ids=(0,), warp_ids=ds.warp_ids,
+        near=ds.near, far=ds.far)
+    state = training.create_train_state(params, warp_alpha=2.0)
+    mesh = mesh_lib.create_mesh()
+    train_config = configs.TrainConfig(batch_size=256)
+    step = training.compile_train_step(model, train_config, mesh)
+    state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
+    pool = ds.create_ray_pool(ds.train_ids)
+    it = ds_core.iterator_from_pool(pool, 256, seed=0, prefetch_size=0,
+                                    process_index=0, process_count=1)
+    sp = training.ScalarParams(learning_rate=5e-3)
+    psnrs = []
+    for i, batch in zip(range(150), it):
+      state, stats, _ = step(jax.random.fold_in(jax.random.PRNGKey(1), i),
+                             state, batch, sp)
+      if i % 50 == 0 or i == 149:
+        psnrs.append(float(jax.device_get(stats['fine']['metric/psnr'])))
+    assert psnrs[-1] > psnrs[0] + 2.0, psnrs
