@@ -163,3 +163,14 @@ def test_operative_config_roundtrip():
   gin.parse_config(text)
   after = configs.ModelConfig()
   assert before == after
+
+
+def test_tpu_config_preset():
+  gin.parse_config_files_and_bindings(
+      config_files=[ZOO / 'tpu_quarterhd.gin'])
+  model = configs.ModelConfig()
+  assert model.use_bfloat16 is True
+  assert model.use_remat is True
+  assert model.use_fused_raymarch is True
+  train = configs.TrainConfig()
+  assert train.batch_size == 6144  # inherits gpu_quarterhd
