@@ -127,11 +127,14 @@ def _raymarch_kernel(
     return h
 
   def sample_block(t, carry):
+    # `t` is a static Python int (the block loop is unrolled: Mosaic does
+    # not lower dynamic_slice on TPU refs, and the block count is small).
     trans, cumw, rgb_acc, depth_acc, med_acc, acc_acc, last_w = carry
 
-    pts = points_ref[:, pl.ds(t * tile_s, tile_s), :]
-    z = z_vals_ref[:, pl.ds(t * tile_s, tile_s)]
-    dists = dists_ref[:, pl.ds(t * tile_s, tile_s)]
+    lo = t * tile_s
+    pts = points_ref[:, lo:lo + tile_s, :]
+    z = z_vals_ref[:, lo:lo + tile_s]
+    dists = dists_ref[:, lo:lo + tile_s]
 
     x = _posenc(pts.reshape(n, 3), num_freqs).astype(dtype)
     h = mlp_trunk(x)
@@ -188,7 +191,7 @@ def _raymarch_kernel(
     weights = alpha * t_within * trans[:, None]
 
     if return_weights:
-      weights_out_ref[:, pl.ds(t * tile_s, tile_s)] = weights
+      weights_out_ref[:, lo:lo + tile_s] = weights
 
     # Per-ray accumulators.
     rgb_acc = rgb_acc + jnp.sum(weights[..., None] * rgb, axis=1)
@@ -206,8 +209,8 @@ def _raymarch_kernel(
     # Carries.
     trans = trans * jnp.exp(jnp.sum(log_t, axis=1))
     cumw = cw[:, -1]
-    is_last = (t == num_blocks - 1).astype(jnp.float32)
-    last_w = last_w + is_last * weights[:, -1]
+    if t == num_blocks - 1:
+      last_w = last_w + weights[:, -1]
     return trans, cumw, rgb_acc, depth_acc, med_acc, acc_acc, last_w
 
   init = (
@@ -219,8 +222,10 @@ def _raymarch_kernel(
       jnp.zeros((tb,), jnp.float32),     # acc
       jnp.zeros((tb,), jnp.float32),     # weight of final sample
   )
-  trans, cumw, rgb_acc, depth_acc, med_acc, acc_acc, last_w = (
-      lax.fori_loop(0, num_blocks, sample_block, init))
+  carry = init
+  for t in range(num_blocks):
+    carry = sample_block(t, carry)
+  trans, cumw, rgb_acc, depth_acc, med_acc, acc_acc, last_w = carry
 
   if use_white_background:
     rgb_acc = rgb_acc + (1.0 - acc_acc)[:, None]
