@@ -144,7 +144,7 @@ def _raymarch_kernel(
     raw_sigma = (jax.lax.dot_general(
         h, aw[:].astype(dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + ab[:])
-    sigma = _apply_sigma(raw_sigma[:, 0], sigma_activation)
+    sigma = _apply_sigma(raw_sigma[:, 0:1], sigma_activation)
 
     # Color head.
     if has_cond:
@@ -178,7 +178,7 @@ def _raymarch_kernel(
     rgb = jax.nn.sigmoid(y.astype(jnp.float32)).reshape(tb, tile_s, 3)
 
     # Compositing within the block (log-space triangular-matmul scans).
-    sigma = sigma.reshape(tb, tile_s)
+    sigma = sigma.reshape(tb, tile_s)  # (n, 1) heads collapse to (tb, ts)
     alpha = 1.0 - jnp.exp(-sigma * dists)
     # max() guard: the compiler may reassociate `1 - alpha + eps` into
     # exactly 0 at alpha == 1, and log(0) = -inf turns the masked
@@ -206,11 +206,12 @@ def _raymarch_kernel(
     marker = jnp.logical_and(cw >= 0.5, prev < 0.5).astype(jnp.float32)
     med_acc = med_acc + jnp.sum(marker * z, axis=1)
 
-    # Carries.
+    # Carries. NOTE: only static slices -- integer and negative indexing
+    # lower to dynamic_slice, which Mosaic does not implement.
     trans = trans * jnp.exp(jnp.sum(log_t, axis=1))
-    cumw = cw[:, -1]
+    cumw = jnp.sum(cw[:, tile_s - 1:tile_s], axis=1)
     if t == num_blocks - 1:
-      last_w = last_w + weights[:, -1]
+      last_w = last_w + jnp.sum(weights[:, tile_s - 1:tile_s], axis=1)
     return trans, cumw, rgb_acc, depth_acc, med_acc, acc_acc, last_w
 
   init = (
@@ -234,10 +235,9 @@ def _raymarch_kernel(
   else:
     acc_out = acc_acc
 
-  out = jnp.stack(
-      [rgb_acc[:, 0], rgb_acc[:, 1], rgb_acc[:, 2],
-       depth_acc, med_acc, acc_out,
-       jnp.zeros_like(acc_out), jnp.zeros_like(acc_out)], axis=-1)
+  out = jnp.concatenate(
+      [rgb_acc, depth_acc[:, None], med_acc[:, None], acc_out[:, None],
+       jnp.zeros((tb, 2), jnp.float32)], axis=-1)
   out_ref[:] = out
 
 
