@@ -3,23 +3,31 @@
 The volumetric-rendering hot path evaluated layer-by-layer in XLA writes a
 (B*S, width) activation to HBM after every matmul -- for the quarter-HD
 fine level that is ~1.5 GB of traffic per layer per step. This Pallas
-kernel keeps the whole pipeline on-chip: each program renders a tile of
-rays, marching the sample axis in blocks with positional encoding, the
-trunk/branch matmuls (MXU), density/color activations, and alpha
-compositing all fused; only per-ray results (rgb/depth/acc, a few floats
-per ray) ever leave VMEM.
+kernel keeps the whole pipeline on-chip: the grid walks (ray tiles x sample
+blocks); each step positionally encodes one block of samples, runs the
+trunk/branch matmuls (MXU) and density/color activations, and alpha-
+composites into per-ray accumulators held in VMEM scratch. Only per-ray
+results (rgb/depth/acc -- a few floats per ray) and optional per-sample
+weights ever leave VMEM.
 
 Design notes:
-  - The exclusive cumulative transmittance inside a sample block is
-    computed in log space with a strictly-triangular matmul (an MXU-friendly
-    scan substitute); transmittance is carried across blocks as a per-ray
-    scalar, so arbitrarily long rays stream through fixed VMEM.
+  - The sample axis is a GRID dimension (TPU grids execute sequentially on
+    a core), with transmittance/accumulators carried in VMEM scratch --
+    the flash-attention pattern. This keeps the kernel body small (fast
+    Mosaic compiles) and lets pallas pipeline block fetches.
+  - The exclusive cumulative transmittance inside a block is computed in
+    log space with a strictly-triangular matmul (an MXU-friendly scan
+    substitute).
+  - Points are fed as (B, 3, S) so the lane (minor) dimension is the
+    sample-block axis, not the 3-vector (a (tb, ts, 3) block would pad
+    3 -> 128 lanes, 42x wasted VMEM/bandwidth).
   - Per-ray conditions (viewdir/GLO embeddings) contribute to the first
     rgb-branch layer through the SplitDense identity
-    ``concat([h, c]) @ W == h @ W_top + c @ W_bottom``: the per-ray term is
-    computed once per ray tile, outside the sample loop.
+    ``concat([h, c]) @ W == h @ W_top + c @ W_bottom``.
   - Median depth tracks the reference's opaqueness-crossing definition
     (model_utils.py:218-263) with a carried cumulative weight.
+  - Only static slices / no integer or negative indexing inside the
+    kernel: Mosaic does not lower dynamic_slice.
 
 Equivalent reference math: model_utils.py:76-136 + modules.py:94-169.
 """
@@ -34,15 +42,22 @@ from jax.experimental.pallas import tpu as pltpu
 import jax.numpy as jnp
 import numpy as np
 
+# Scratch accumulator columns.
+_TRANS, _CUMW, _R, _G, _B, _DEPTH, _MED, _ACC = range(8)
 
-def _posenc(x, num_freqs):
-  """Reference-ordered sinusoidal PE: [x, sin(f0 x), cos(f0 x), ...]."""
-  feats = [x]
+
+def _posenc_from_channels(channels, num_freqs, dtype):
+  """Reference-ordered PE from per-channel (n, 1) columns.
+
+  Order matches ops.encoding.posenc: [x, sin(f0 x), cos(f0 x), ...] with
+  each group laid out channel-major ((F, 2, C) flattening).
+  """
+  feats = list(channels)
   for i in range(num_freqs):
-    angles = (2.0 ** i) * x
-    feats.append(jnp.sin(angles))
-    feats.append(jnp.sin(angles + 0.5 * jnp.pi))
-  return jnp.concatenate(feats, axis=-1)
+    angles = [(2.0 ** i) * c for c in channels]
+    feats.extend([jnp.sin(a) for a in angles])
+    feats.extend([jnp.sin(a + 0.5 * jnp.pi) for a in angles])
+  return jnp.concatenate(feats, axis=-1).astype(dtype)
 
 
 def _apply_sigma(x, name):
@@ -53,13 +68,17 @@ def _apply_sigma(x, name):
   raise ValueError(f'Unsupported sigma activation {name!r}')
 
 
+def _dot(a, b):
+  return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+
 def _raymarch_kernel(
-    # Inputs (blocked per ray tile unless noted).
-    points_ref,      # (TB, S, 3)
-    z_vals_ref,      # (TB, S)
-    dists_ref,       # (TB, S)
-    cond_ref,        # (TB, C) or dummy (TB, 1)
-    *args,           # weight refs..., out_ref
+    points_ref,      # (TB, 3, TS) block
+    z_vals_ref,      # (TB, TS) block
+    dists_ref,       # (TB, TS) block
+    cond_ref,        # (TB, C) (dummy (TB, 1) when has_cond=False)
+    *args,           # weight refs..., out_ref [, weights_out_ref], scratch
     num_freqs: int,
     trunk_depth: int,
     skips: tuple,
@@ -68,19 +87,21 @@ def _raymarch_kernel(
     sigma_activation: str,
     use_white_background: bool,
     sample_at_infinity: bool,
-    tile_s: int,
     dtype,
     return_weights: bool,
 ):
+  acc_ref = args[-1]  # (TB, 8) f32 VMEM scratch
   if return_weights:
-    out_ref, weights_out_ref = args[-2], args[-1]
-    weight_refs = args[:-2]
+    out_ref, weights_out_ref = args[-3], args[-2]
+    weight_refs = args[:-3]
   else:
-    out_ref = args[-1]
-    weight_refs = args[:-1]
+    out_ref = args[-2]
+    weight_refs = args[:-2]
 
-  tb, total_s, _ = points_ref.shape
-  num_blocks = total_s // tile_s
+  j = pl.program_id(1)
+  num_blocks = pl.num_programs(1)
+  tb = points_ref.shape[0]
+  tile_s = points_ref.shape[2]
   n = tb * tile_s
 
   # Unpack weights in the order the host packed them.
@@ -90,155 +111,118 @@ def _raymarch_kernel(
   rgb_w = [(next(it), next(it)) for _ in range(rgb_branch_depth + 1)]
   alpha_w = (next(it), next(it))
 
-  # Per-ray rgb-branch condition term: computed once per ray tile.
-  if has_cond:
-    w0, _ = rgb_w[0]
-    cond = cond_ref[:].astype(dtype)
-    bneck_dim = bottleneck_w[0].shape[1]
-    cond_term = jax.lax.dot_general(
-        cond, w0[bneck_dim:].astype(dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (TB, rgb_width)
+  @pl.when(j == 0)
+  def _init():
+    init = jnp.zeros((tb, 8), jnp.float32)
+    acc_ref[:] = init.at[:, _TRANS].set(1.0)
 
-  # Triangular matrices for in-block scans (f32, tiny).
+  # --- positional encoding of this sample block ---
+  channels = [points_ref[:, c:c + 1, :].reshape(n, 1) for c in range(3)]
+  x_pe = _posenc_from_channels(channels, num_freqs, dtype)
+
+  # --- trunk ---
+  h = x_pe
+  for i, (w_ref, b_ref) in enumerate(trunk_w):
+    w = w_ref[:].astype(dtype)
+    if i in skips and i > 0:
+      h_dim = h.shape[-1]
+      out = _dot(h, w[:h_dim]) + _dot(x_pe, w[h_dim:])
+    else:
+      out = _dot(h, w)
+    h = jax.nn.relu(out + b_ref[:]).astype(dtype)
+
+  # --- density head ---
+  aw, ab = alpha_w
+  raw_sigma = _dot(h, aw[:].astype(dtype)) + ab[:]
+  sigma = _apply_sigma(raw_sigma[:, 0:1], sigma_activation)
+
+  # --- color head ---
+  if has_cond:
+    bw, bb = bottleneck_w
+    bneck = _dot(h, bw[:].astype(dtype)) + bb[:]
+    w0, b0 = rgb_w[0]
+    bneck_dim = bw.shape[1]
+    cond = cond_ref[:].astype(dtype)
+    cond_term = _dot(cond, w0[bneck_dim:].astype(dtype))  # (TB, width)
+    y = _dot(bneck.astype(dtype), w0[:bneck_dim].astype(dtype)) + b0[:]
+    y = (y.reshape(tb, tile_s, -1) + cond_term[:, None, :]).reshape(n, -1)
+    if rgb_branch_depth > 0:
+      # Depth 0 would make this the logit layer: no activation then.
+      y = jax.nn.relu(y).astype(dtype)
+    rest = rgb_w[1:]
+  else:
+    y = h
+    rest = rgb_w
+  for i, (w_ref, b_ref) in enumerate(rest):
+    y = _dot(y.astype(dtype), w_ref[:].astype(dtype)) + b_ref[:]
+    if i < len(rest) - 1:
+      y = jax.nn.relu(y).astype(dtype)
+  rgb = jax.nn.sigmoid(y.astype(jnp.float32)).reshape(tb, tile_s, 3)
+
+  # --- compositing (log-space triangular-matmul scans) ---
+  z = z_vals_ref[:]
+  dists = dists_ref[:]
+  sigma = sigma.reshape(tb, tile_s)
+  alpha = 1.0 - jnp.exp(-sigma * dists)
+  # max() guard: `1 - alpha + eps` can reassociate to exactly 0 at
+  # alpha == 1; log(0) = -inf turns the masked matmul into -inf*0 = NaN.
+  log_t = jnp.log(jnp.maximum(1.0 - alpha + 1e-10, 1e-10))
+
   row = lax.broadcasted_iota(jnp.int32, (tile_s, tile_s), 0)
   col = lax.broadcasted_iota(jnp.int32, (tile_s, tile_s), 1)
-  strict_upper = (row < col).astype(jnp.float32)   # exclusive cumsum
-  upper_incl = (row <= col).astype(jnp.float32)    # inclusive cumsum
+  strict_upper = (row < col).astype(jnp.float32)
+  upper_incl = (row <= col).astype(jnp.float32)
 
-  def mlp_trunk(x_pe):
-    h = x_pe
-    for i, (w_ref, b_ref) in enumerate(trunk_w):
-      w = w_ref[:].astype(dtype)
-      b = b_ref[:].astype(dtype)
-      if i in skips and i > 0:
-        h_dim = h.shape[-1]
-        out = (jax.lax.dot_general(
-            h, w[:h_dim], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-               + jax.lax.dot_general(
-                   x_pe, w[h_dim:], (((1,), (0,)), ((), ())),
-                   preferred_element_type=jnp.float32))
-      else:
-        out = jax.lax.dot_general(
-            h, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-      h = jax.nn.relu(out + b_ref[:]).astype(dtype)
-    return h
+  trans = acc_ref[:, _TRANS:_TRANS + 1]            # (TB, 1)
+  cumw = acc_ref[:, _CUMW:_CUMW + 1]
 
-  def sample_block(t, carry):
-    # `t` is a static Python int (the block loop is unrolled: Mosaic does
-    # not lower dynamic_slice on TPU refs, and the block count is small).
-    trans, cumw, rgb_acc, depth_acc, med_acc, acc_acc, last_w = carry
+  t_within = jnp.exp(_dot(log_t, strict_upper))
+  weights = alpha * t_within * trans
 
-    lo = t * tile_s
-    pts = points_ref[:, lo:lo + tile_s, :]
-    z = z_vals_ref[:, lo:lo + tile_s]
-    dists = dists_ref[:, lo:lo + tile_s]
+  if return_weights:
+    weights_out_ref[:] = weights
 
-    x = _posenc(pts.reshape(n, 3), num_freqs).astype(dtype)
-    h = mlp_trunk(x)
+  rgb_c = jnp.sum(weights[..., None] * rgb, axis=1)  # (TB, 3)
+  depth_c = jnp.sum(weights * z, axis=1, keepdims=True)
+  acc_c = jnp.sum(weights, axis=1, keepdims=True)
 
-    # Density head.
-    aw, ab = alpha_w
-    raw_sigma = (jax.lax.dot_general(
-        h, aw[:].astype(dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + ab[:])
-    sigma = _apply_sigma(raw_sigma[:, 0:1], sigma_activation)
+  # Median depth: first crossing of cumulative weight 0.5.
+  cw = cumw + _dot(weights, upper_incl)
+  prev = cw - weights
+  marker = jnp.logical_and(cw >= 0.5, prev < 0.5).astype(jnp.float32)
+  med_c = jnp.sum(marker * z, axis=1, keepdims=True)
 
-    # Color head.
-    if has_cond:
-      bw, bb = bottleneck_w
-      bneck = (jax.lax.dot_general(
-          h, bw[:].astype(dtype), (((1,), (0,)), ((), ())),
-          preferred_element_type=jnp.float32) + bb[:])
-      w0, b0 = rgb_w[0]
-      bneck_dim = bw.shape[1]
-      y = (jax.lax.dot_general(
-          bneck.astype(dtype), w0[:bneck_dim].astype(dtype),
-          (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-           + b0[:])
-      y = y.reshape(tb, tile_s, -1) + cond_term[:, None, :]
-      y = y.reshape(n, -1)
-      if rgb_branch_depth > 0:
-        # First branch layer is a hidden layer; depth 0 means it IS the
-        # logit and must stay pre-activation.
-        y = jax.nn.relu(y).astype(dtype)
-      rest = rgb_w[1:]
-    else:
-      y = h
-      rest = rgb_w
-    for i, (w_ref, b_ref) in enumerate(rest):
-      w = w_ref[:].astype(dtype)
-      y = (jax.lax.dot_general(
-          y, w, (((1,), (0,)), ((), ())),
-          preferred_element_type=jnp.float32) + b_ref[:])
-      if i < len(rest) - 1:
-        y = jax.nn.relu(y).astype(dtype)
-    rgb = jax.nn.sigmoid(y.astype(jnp.float32)).reshape(tb, tile_s, 3)
+  new_trans = trans * jnp.exp(jnp.sum(log_t, axis=1, keepdims=True))
+  new_cumw = cw[:, tile_s - 1:tile_s]
 
-    # Compositing within the block (log-space triangular-matmul scans).
-    sigma = sigma.reshape(tb, tile_s)  # (n, 1) heads collapse to (tb, ts)
-    alpha = 1.0 - jnp.exp(-sigma * dists)
-    # max() guard: the compiler may reassociate `1 - alpha + eps` into
-    # exactly 0 at alpha == 1, and log(0) = -inf turns the masked
-    # triangular matmul into -inf * 0 = NaN.
-    log_t = jnp.log(jnp.maximum(1.0 - alpha + 1e-10, 1e-10))
-    excl = jax.lax.dot_general(
-        log_t, strict_upper, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    t_within = jnp.exp(excl)
-    weights = alpha * t_within * trans[:, None]
+  acc = acc_ref[:]
+  acc_ref[:] = jnp.concatenate([
+      new_trans,
+      new_cumw,
+      acc[:, _R:_B + 1] + rgb_c,
+      acc[:, _DEPTH:_DEPTH + 1] + depth_c,
+      acc[:, _MED:_MED + 1] + med_c,
+      acc[:, _ACC:_ACC + 1] + acc_c,
+  ], axis=-1)
 
-    if return_weights:
-      weights_out_ref[:, lo:lo + tile_s] = weights
-
-    # Per-ray accumulators.
-    rgb_acc = rgb_acc + jnp.sum(weights[..., None] * rgb, axis=1)
-    depth_acc = depth_acc + jnp.sum(weights * z, axis=1)
-    acc_acc = acc_acc + jnp.sum(weights, axis=1)
-
-    # Median depth: first crossing of cumulative weight 0.5.
-    cw = cumw[:, None] + jax.lax.dot_general(
-        weights, upper_incl, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    prev = cw - weights
-    marker = jnp.logical_and(cw >= 0.5, prev < 0.5).astype(jnp.float32)
-    med_acc = med_acc + jnp.sum(marker * z, axis=1)
-
-    # Carries. NOTE: only static slices -- integer and negative indexing
-    # lower to dynamic_slice, which Mosaic does not implement.
-    trans = trans * jnp.exp(jnp.sum(log_t, axis=1))
-    cumw = jnp.sum(cw[:, tile_s - 1:tile_s], axis=1)
-    if t == num_blocks - 1:
-      last_w = last_w + jnp.sum(weights[:, tile_s - 1:tile_s], axis=1)
-    return trans, cumw, rgb_acc, depth_acc, med_acc, acc_acc, last_w
-
-  init = (
-      jnp.ones((tb,), jnp.float32),      # transmittance
-      jnp.zeros((tb,), jnp.float32),     # cumulative weight
-      jnp.zeros((tb, 3), jnp.float32),   # rgb
-      jnp.zeros((tb,), jnp.float32),     # expected depth
-      jnp.zeros((tb,), jnp.float32),     # median depth
-      jnp.zeros((tb,), jnp.float32),     # acc
-      jnp.zeros((tb,), jnp.float32),     # weight of final sample
-  )
-  carry = init
-  for t in range(num_blocks):
-    carry = sample_block(t, carry)
-  trans, cumw, rgb_acc, depth_acc, med_acc, acc_acc, last_w = carry
-
-  if use_white_background:
-    rgb_acc = rgb_acc + (1.0 - acc_acc)[:, None]
-  if sample_at_infinity:
-    acc_out = acc_acc - last_w
-  else:
-    acc_out = acc_acc
-
-  out = jnp.concatenate(
-      [rgb_acc, depth_acc[:, None], med_acc[:, None], acc_out[:, None],
-       jnp.zeros((tb, 2), jnp.float32)], axis=-1)
-  out_ref[:] = out
+  @pl.when(j == num_blocks - 1)
+  def _finalize():
+    final = acc_ref[:]
+    rgb_out = final[:, _R:_B + 1]
+    acc_out = final[:, _ACC:_ACC + 1]
+    if use_white_background:
+      rgb_out = rgb_out + (1.0 - acc_out)
+    if sample_at_infinity:
+      # acc excludes the infinity sample: its weight is the final weight of
+      # this (last) block.
+      acc_out = acc_out - weights[:, tile_s - 1:tile_s]
+    out_ref[:] = jnp.concatenate([
+        rgb_out,
+        final[:, _DEPTH:_DEPTH + 1],
+        final[:, _MED:_MED + 1],
+        acc_out,
+        jnp.zeros((tb, 2), jnp.float32),
+    ], axis=-1)
 
 
 def _collect_weights(params: Dict[str, Any], trunk_depth: int,
@@ -250,15 +234,10 @@ def _collect_weights(params: Dict[str, Any], trunk_depth: int,
     arrays += [layer['kernel'], layer['bias']]
   if has_cond:
     arrays += [params['bottleneck']['kernel'], params['bottleneck']['bias']]
-    for i in range(rgb_branch_depth):
-      layer = params[f'rgb_hidden_{i}']
-      arrays += [layer['kernel'], layer['bias']]
-    arrays += [params['rgb_logit']['kernel'], params['rgb_logit']['bias']]
-  else:
-    for i in range(rgb_branch_depth):
-      layer = params[f'rgb_hidden_{i}']
-      arrays += [layer['kernel'], layer['bias']]
-    arrays += [params['rgb_logit']['kernel'], params['rgb_logit']['bias']]
+  for i in range(rgb_branch_depth):
+    layer = params[f'rgb_hidden_{i}']
+    arrays += [layer['kernel'], layer['bias']]
+  arrays += [params['rgb_logit']['kernel'], params['rgb_logit']['bias']]
   arrays += [params['alpha_logit']['kernel'], params['alpha_logit']['bias']]
   return arrays
 
@@ -293,13 +272,15 @@ def fused_render_level(params: Dict[str, Any],
     num_freqs / trunk_depth / skips / rgb_branch_depth: MLP architecture.
     sigma_activation: 'relu' or 'softplus'.
     use_white_background / sample_at_infinity: compositing options.
-    tile_b / tile_s: ray/sample tile sizes (B % tile_b == 0 required;
+    tile_b / tile_s: ray/sample tile sizes (B % tile_b == 0 and
       S % tile_s == 0 required).
     use_bfloat16: run matmuls in bf16 (f32 accumulation).
+    return_weights: also return per-sample compositing weights (B, S).
     interpret: pallas interpret mode (CPU testing).
 
   Returns:
-    {'rgb' (B,3), 'depth' (B,), 'med_depth' (B,), 'acc' (B,)}.
+    {'rgb' (B,3), 'depth' (B,), 'med_depth' (B,), 'acc' (B,)
+     [, 'weights' (B,S)]}.
   """
   batch, total_s, _ = points.shape
   if batch % tile_b:
@@ -307,6 +288,7 @@ def fused_render_level(params: Dict[str, Any],
   if total_s % tile_s:
     raise ValueError(f'samples {total_s} % tile_s {tile_s} != 0')
   has_cond = rgb_condition is not None
+  num_blocks = total_s // tile_s
 
   # dists with the infinity tail and |direction| scaling (reference
   # model_utils.py:103-109), precomputed in XLA.
@@ -315,6 +297,9 @@ def fused_render_level(params: Dict[str, Any],
       z_vals[:, 1:] - z_vals[:, :-1],
       jnp.full_like(z_vals[:, :1], last_z)], axis=-1)
   dists = dists * jnp.linalg.norm(directions, axis=-1, keepdims=True)
+
+  # Lane-friendly layout: sample axis minor.
+  points_t = jnp.swapaxes(points, 1, 2)  # (B, 3, S)
 
   weights = _collect_weights(params, trunk_depth, rgb_branch_depth, has_cond)
   cond = (rgb_condition if has_cond
@@ -330,46 +315,45 @@ def fused_render_level(params: Dict[str, Any],
       sigma_activation=sigma_activation,
       use_white_background=use_white_background,
       sample_at_infinity=sample_at_infinity,
-      tile_s=tile_s,
       dtype=jnp.bfloat16 if use_bfloat16 else jnp.float32,
       return_weights=return_weights,
   )
 
-  grid = (batch // tile_b,)
-  ray_spec = lambda ch: pl.BlockSpec(  # noqa: E731
-      (tile_b, total_s, ch) if ch else (tile_b, total_s),
-      (lambda i: (i, 0, 0)) if ch else (lambda i: (i, 0)),
-      memory_space=pltpu.VMEM)
+  grid = (batch // tile_b, num_blocks)
   in_specs = [
-      ray_spec(3),                                    # points
-      ray_spec(0),                                    # z_vals
-      ray_spec(0),                                    # dists
-      pl.BlockSpec((tile_b, cond.shape[-1]), lambda i: (i, 0),
-                   memory_space=pltpu.VMEM),          # condition
+      pl.BlockSpec((tile_b, 3, tile_s), lambda i, j: (i, 0, j),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((tile_b, tile_s), lambda i, j: (i, j),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((tile_b, tile_s), lambda i, j: (i, j),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((tile_b, cond.shape[-1]), lambda i, j: (i, 0),
+                   memory_space=pltpu.VMEM),
   ]
-  in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+  in_specs += [
+      pl.BlockSpec(w.shape, lambda i, j, nd=w.ndim: (0,) * nd,
+                   memory_space=pltpu.VMEM) for w in weights
+  ]
 
-  out_specs = pl.BlockSpec((tile_b, 8), lambda i: (i, 0),
-                           memory_space=pltpu.VMEM)
-  out_shape = jax.ShapeDtypeStruct((batch, 8), jnp.float32)
+  out_specs = [pl.BlockSpec((tile_b, 8), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)]
+  out_shape = [jax.ShapeDtypeStruct((batch, 8), jnp.float32)]
   if return_weights:
-    out_specs = (out_specs,
-                 pl.BlockSpec((tile_b, total_s), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM))
-    out_shape = (out_shape,
-                 jax.ShapeDtypeStruct((batch, total_s), jnp.float32))
+    out_specs.append(pl.BlockSpec((tile_b, tile_s), lambda i, j: (i, j),
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((batch, total_s), jnp.float32))
 
-  out = pl.pallas_call(
+  outs = pl.pallas_call(
       kernel,
       grid=grid,
       in_specs=in_specs,
       out_specs=out_specs,
       out_shape=out_shape,
+      scratch_shapes=[pltpu.VMEM((tile_b, 8), jnp.float32)],
       interpret=interpret,
-  )(points, z_vals, dists, cond, *weights)
+  )(points_t, z_vals, dists, cond, *weights)
 
-  if return_weights:
-    out, level_weights = out
+  out = outs[0]
   result = {
       'rgb': out[:, 0:3],
       'depth': out[:, 3],
@@ -377,5 +361,5 @@ def fused_render_level(params: Dict[str, Any],
       'acc': out[:, 5],
   }
   if return_weights:
-    result['weights'] = level_weights
+    result['weights'] = outs[1]
   return result
