@@ -31,8 +31,8 @@ def _sigma_activation_name(fn) -> str:
 
 
 def fused_render_rays(model, params, rays_dict, warp_extra,
-                      use_warp: bool = True, tile_b: int = 32,
-                      tile_s: int = 64, interpret: bool = False):
+                      use_warp: bool = True, tile_b: int = 64,
+                      tile_s=None, interpret: bool = False):
   """Full coarse+fine render through the fused Pallas ray-march kernel.
 
   Deterministic (eval) sampling. The warp field and condition embeddings

@@ -113,8 +113,10 @@ def _raymarch_kernel(
 
   @pl.when(j == 0)
   def _init():
-    init = jnp.zeros((tb, 8), jnp.float32)
-    acc_ref[:] = init.at[:, _TRANS].set(1.0)
+    # No .at[].set here: that lowers to scatter, which Mosaic lacks.
+    acc_ref[:] = jnp.concatenate(
+        [jnp.ones((tb, 1), jnp.float32), jnp.zeros((tb, 7), jnp.float32)],
+        axis=-1)
 
   # --- positional encoding of this sample block ---
   channels = [points_ref[:, c:c + 1, :].reshape(n, 1) for c in range(3)]
@@ -255,8 +257,8 @@ def fused_render_level(params: Dict[str, Any],
                        sigma_activation: str = 'softplus',
                        use_white_background: bool = False,
                        sample_at_infinity: bool = True,
-                       tile_b: int = 32,
-                       tile_s: int = 64,
+                       tile_b: int = 64,
+                       tile_s: Optional[int] = None,
                        use_bfloat16: bool = True,
                        return_weights: bool = False,
                        interpret: bool = False) -> Dict[str, jnp.ndarray]:
@@ -285,6 +287,10 @@ def fused_render_level(params: Dict[str, Any],
   batch, total_s, _ = points.shape
   if batch % tile_b:
     raise ValueError(f'batch {batch} % tile_b {tile_b} != 0')
+  if tile_s is None:
+    # Mosaic requires the block's lane dimension to be a multiple of 128
+    # or the full axis; pick the largest valid sample block.
+    tile_s = 128 if total_s % 128 == 0 else total_s
   if total_s % tile_s:
     raise ValueError(f'samples {total_s} % tile_s {tile_s} != 0')
   has_cond = rgb_condition is not None

@@ -58,10 +58,10 @@ def main():
   key = jax.random.PRNGKey(0)
 
   for name, use_fused, tile_b, tile_s in (
-      ('unfused', False, 0, 0),
-      ('fused tb=64 ts=64', True, 64, 64),
+      ('fused tb=64 ts=128', True, 64, 128),
       ('fused tb=128 ts=128', True, 128, 128),
-      ('fused tb=256 ts=64', True, 256, 64),
+      ('fused tb=256 ts=128', True, 256, 128),
+      ('unfused', False, 0, 0),
   ):
     if use_fused:
       fn = jax.jit(lambda p, r: evaluation.fused_render_rays(
