@@ -18,9 +18,10 @@ Design notes:
   - The exclusive cumulative transmittance inside a block is computed in
     log space with a strictly-triangular matmul (an MXU-friendly scan
     substitute).
-  - Points are fed as (B, 3, S) so the lane (minor) dimension is the
-    sample-block axis, not the 3-vector (a (tb, ts, 3) block would pad
-    3 -> 128 lanes, 42x wasted VMEM/bandwidth).
+  - Points are fed as three (B, S) channel arrays so every block is a
+    plain (tile_b, tile_s) tile (a (tb, ts, 3) block would pad 3 -> 128
+    lanes, and 3-D blocks with middle-dim slicing crash the Mosaic
+    compiler).
   - Per-ray conditions (viewdir/GLO embeddings) contribute to the first
     rgb-branch layer through the SplitDense identity
     ``concat([h, c]) @ W == h @ W_top + c @ W_bottom``.
@@ -74,7 +75,9 @@ def _dot(a, b):
 
 
 def _raymarch_kernel(
-    points_ref,      # (TB, 3, TS) block
+    px_ref,          # (TB, TS) block: point x coordinates
+    py_ref,          # (TB, TS) block: point y coordinates
+    pz_ref,          # (TB, TS) block: point z coordinates
     z_vals_ref,      # (TB, TS) block
     dists_ref,       # (TB, TS) block
     cond_ref,        # (TB, C) (dummy (TB, 1) when has_cond=False)
@@ -100,8 +103,7 @@ def _raymarch_kernel(
 
   j = pl.program_id(1)
   num_blocks = pl.num_programs(1)
-  tb = points_ref.shape[0]
-  tile_s = points_ref.shape[2]
+  tb, tile_s = px_ref.shape
   n = tb * tile_s
 
   # Unpack weights in the order the host packed them.
@@ -119,7 +121,7 @@ def _raymarch_kernel(
         axis=-1)
 
   # --- positional encoding of this sample block ---
-  channels = [points_ref[:, c:c + 1, :].reshape(n, 1) for c in range(3)]
+  channels = [r[:].reshape(n, 1) for r in (px_ref, py_ref, pz_ref)]
   x_pe = _posenc_from_channels(channels, num_freqs, dtype)
 
   # --- trunk ---
@@ -304,8 +306,8 @@ def fused_render_level(params: Dict[str, Any],
       jnp.full_like(z_vals[:, :1], last_z)], axis=-1)
   dists = dists * jnp.linalg.norm(directions, axis=-1, keepdims=True)
 
-  # Lane-friendly layout: sample axis minor.
-  points_t = jnp.swapaxes(points, 1, 2)  # (B, 3, S)
+  # Lane-friendly layout: one (B, S) array per coordinate channel.
+  px, py, pz = (points[..., 0], points[..., 1], points[..., 2])
 
   weights = _collect_weights(params, trunk_depth, rgb_branch_depth, has_cond)
   cond = (rgb_condition if has_cond
@@ -326,13 +328,14 @@ def fused_render_level(params: Dict[str, Any],
   )
 
   grid = (batch // tile_b, num_blocks)
+  sample_block_spec = lambda: pl.BlockSpec(  # noqa: E731
+      (tile_b, tile_s), lambda i, j: (i, j), memory_space=pltpu.VMEM)
   in_specs = [
-      pl.BlockSpec((tile_b, 3, tile_s), lambda i, j: (i, 0, j),
-                   memory_space=pltpu.VMEM),
-      pl.BlockSpec((tile_b, tile_s), lambda i, j: (i, j),
-                   memory_space=pltpu.VMEM),
-      pl.BlockSpec((tile_b, tile_s), lambda i, j: (i, j),
-                   memory_space=pltpu.VMEM),
+      sample_block_spec(),  # px
+      sample_block_spec(),  # py
+      sample_block_spec(),  # pz
+      sample_block_spec(),  # z_vals
+      sample_block_spec(),  # dists
       pl.BlockSpec((tile_b, cond.shape[-1]), lambda i, j: (i, 0),
                    memory_space=pltpu.VMEM),
   ]
@@ -357,7 +360,7 @@ def fused_render_level(params: Dict[str, Any],
       out_shape=out_shape,
       scratch_shapes=[pltpu.VMEM((tile_b, 8), jnp.float32)],
       interpret=interpret,
-  )(points_t, z_vals, dists, cond, *weights)
+  )(px, py, pz, z_vals, dists, cond, *weights)
 
   out = outs[0]
   result = {
