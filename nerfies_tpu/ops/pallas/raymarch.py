@@ -48,17 +48,19 @@ _TRANS, _CUMW, _R, _G, _B, _DEPTH, _MED, _ACC = range(8)
 
 
 def _posenc_from_channels(channels, num_freqs, dtype):
-  """Reference-ordered PE from per-channel (n, 1) columns.
+  """Reference-ordered PE from per-channel (tb, ts) planes -> (tb, ts, D).
 
   Order matches ops.encoding.posenc: [x, sin(f0 x), cos(f0 x), ...] with
-  each group laid out channel-major ((F, 2, C) flattening).
+  each group laid out channel-major ((F, 2, C) flattening). Built with
+  jnp.stack so no sublane<->lane reshapes are needed (Mosaic cannot
+  relayout those).
   """
   feats = list(channels)
   for i in range(num_freqs):
     angles = [(2.0 ** i) * c for c in channels]
     feats.extend([jnp.sin(a) for a in angles])
     feats.extend([jnp.sin(a + 0.5 * jnp.pi) for a in angles])
-  return jnp.concatenate(feats, axis=-1).astype(dtype)
+  return jnp.stack(feats, axis=-1).astype(dtype)
 
 
 def _apply_sigma(x, name):
@@ -70,7 +72,8 @@ def _apply_sigma(x, name):
 
 
 def _dot(a, b):
-  return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+  """Contraction of the last dim of `a` with the first of `b` (MXU)."""
+  return jax.lax.dot_general(a, b, (((a.ndim - 1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
 
 
@@ -104,7 +107,6 @@ def _raymarch_kernel(
   j = pl.program_id(1)
   num_blocks = pl.num_programs(1)
   tb, tile_s = px_ref.shape
-  n = tb * tile_s
 
   # Unpack weights in the order the host packed them.
   it = iter(weight_refs)
@@ -120,9 +122,13 @@ def _raymarch_kernel(
         [jnp.ones((tb, 1), jnp.float32), jnp.zeros((tb, 7), jnp.float32)],
         axis=-1)
 
-  # --- positional encoding of this sample block ---
-  channels = [r[:].reshape(n, 1) for r in (px_ref, py_ref, pz_ref)]
-  x_pe = _posenc_from_channels(channels, num_freqs, dtype)
+  # Everything stays (tb, ts, features): Mosaic cannot relayout
+  # sublane<->lane reshapes, so the classic (tb*ts, features) flattening is
+  # off the table. The batched 3-D dot_generals below contract the feature
+  # (lane) axis and keep ts=128 rows per matmul, so MXU utilization matches
+  # the flattened form.
+  x_pe = _posenc_from_channels(
+      [px_ref[:], py_ref[:], pz_ref[:]], num_freqs, dtype)  # (tb, ts, D)
 
   # --- trunk ---
   h = x_pe
@@ -137,8 +143,8 @@ def _raymarch_kernel(
 
   # --- density head ---
   aw, ab = alpha_w
-  raw_sigma = _dot(h, aw[:].astype(dtype)) + ab[:]
-  sigma = _apply_sigma(raw_sigma[:, 0:1], sigma_activation)
+  raw_sigma = _dot(h, aw[:].astype(dtype)) + ab[:]        # (tb, ts, 1)
+  sigma = _apply_sigma(jnp.sum(raw_sigma, axis=2), sigma_activation)
 
   # --- color head ---
   if has_cond:
@@ -149,7 +155,7 @@ def _raymarch_kernel(
     cond = cond_ref[:].astype(dtype)
     cond_term = _dot(cond, w0[bneck_dim:].astype(dtype))  # (TB, width)
     y = _dot(bneck.astype(dtype), w0[:bneck_dim].astype(dtype)) + b0[:]
-    y = (y.reshape(tb, tile_s, -1) + cond_term[:, None, :]).reshape(n, -1)
+    y = y + cond_term[:, None, :]
     if rgb_branch_depth > 0:
       # Depth 0 would make this the logit layer: no activation then.
       y = jax.nn.relu(y).astype(dtype)
@@ -161,12 +167,11 @@ def _raymarch_kernel(
     y = _dot(y.astype(dtype), w_ref[:].astype(dtype)) + b_ref[:]
     if i < len(rest) - 1:
       y = jax.nn.relu(y).astype(dtype)
-  rgb = jax.nn.sigmoid(y.astype(jnp.float32)).reshape(tb, tile_s, 3)
+  rgb = jax.nn.sigmoid(y.astype(jnp.float32))             # (tb, ts, 3)
 
   # --- compositing (log-space triangular-matmul scans) ---
   z = z_vals_ref[:]
   dists = dists_ref[:]
-  sigma = sigma.reshape(tb, tile_s)
   alpha = 1.0 - jnp.exp(-sigma * dists)
   # max() guard: `1 - alpha + eps` can reassociate to exactly 0 at
   # alpha == 1; log(0) = -inf turns the masked matmul into -inf*0 = NaN.
