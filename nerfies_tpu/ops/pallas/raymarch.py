@@ -54,12 +54,23 @@ def _posenc_from_channels(channels, num_freqs, dtype):
   each group laid out channel-major ((F, 2, C) flattening). Built with
   jnp.stack so no sublane<->lane reshapes are needed (Mosaic cannot
   relayout those).
+
+  The frequency octaves come from the double-angle recurrence
+  (sin 2a = 2 sin a cos a; cos 2a = 1 - 2 sin^2 a): only ONE sin/cos pair
+  per channel. Besides being faster, this matters for compilation: each
+  distinct transcendental expands to a long VPU sequence and ~2F*C of them
+  in one kernel exhausts the TPU compile service.
   """
+  sins = [jnp.sin(c) for c in channels]
+  coss = [jnp.cos(c) for c in channels]
   feats = list(channels)
-  for i in range(num_freqs):
-    angles = [(2.0 ** i) * c for c in channels]
-    feats.extend([jnp.sin(a) for a in angles])
-    feats.extend([jnp.sin(a + 0.5 * jnp.pi) for a in angles])
+  for _ in range(num_freqs):
+    feats.extend(sins)
+    feats.extend(coss)
+    sins, coss = (
+        [2.0 * s * c for s, c in zip(sins, coss)],
+        [1.0 - 2.0 * s * s for s in sins],
+    )
   return jnp.stack(feats, axis=-1).astype(dtype)
 
 
