@@ -18,10 +18,11 @@ Design notes:
   - The exclusive cumulative transmittance inside a block is computed in
     log space with a strictly-triangular matmul (an MXU-friendly scan
     substitute).
-  - Points are fed as three (B, S) channel arrays so every block is a
-    plain (tile_b, tile_s) tile (a (tb, ts, 3) block would pad 3 -> 128
-    lanes, and 3-D blocks with middle-dim slicing crash the Mosaic
-    compiler).
+  - The positional encoding is computed OUTSIDE the kernel (XLA) and
+    streamed as a (B, S, D) input: this TPU's Mosaic compile service
+    crashes on kernels that assemble many distinct (tb, ts) planes into
+    lanes (jnp.stack) -- and D*4 bytes/sample of extra input bandwidth is
+    noise next to the ~1 MFLOP/sample of MLP compute it feeds.
   - Per-ray conditions (viewdir/GLO embeddings) contribute to the first
     rgb-branch layer through the SplitDense identity
     ``concat([h, c]) @ W == h @ W_top + c @ W_bottom``.
@@ -47,33 +48,6 @@ import numpy as np
 _TRANS, _CUMW, _R, _G, _B, _DEPTH, _MED, _ACC = range(8)
 
 
-def _posenc_from_channels(channels, num_freqs, dtype):
-  """Reference-ordered PE from per-channel (tb, ts) planes -> (tb, ts, D).
-
-  Order matches ops.encoding.posenc: [x, sin(f0 x), cos(f0 x), ...] with
-  each group laid out channel-major ((F, 2, C) flattening). Built with
-  jnp.stack so no sublane<->lane reshapes are needed (Mosaic cannot
-  relayout those).
-
-  The frequency octaves come from the double-angle recurrence
-  (sin 2a = 2 sin a cos a; cos 2a = 1 - 2 sin^2 a): only ONE sin/cos pair
-  per channel. Besides being faster, this matters for compilation: each
-  distinct transcendental expands to a long VPU sequence and ~2F*C of them
-  in one kernel exhausts the TPU compile service.
-  """
-  sins = [jnp.sin(c) for c in channels]
-  coss = [jnp.cos(c) for c in channels]
-  feats = list(channels)
-  for _ in range(num_freqs):
-    feats.extend(sins)
-    feats.extend(coss)
-    sins, coss = (
-        [2.0 * s * c for s, c in zip(sins, coss)],
-        [1.0 - 2.0 * s * s for s in sins],
-    )
-  return jnp.stack(feats, axis=-1).astype(dtype)
-
-
 def _apply_sigma(x, name):
   if name == 'relu':
     return jax.nn.relu(x)
@@ -89,14 +63,11 @@ def _dot(a, b):
 
 
 def _raymarch_kernel(
-    px_ref,          # (TB, TS) block: point x coordinates
-    py_ref,          # (TB, TS) block: point y coordinates
-    pz_ref,          # (TB, TS) block: point z coordinates
+    pe_ref,          # (TB, TS, D) block: positionally-encoded samples
     z_vals_ref,      # (TB, TS) block
     dists_ref,       # (TB, TS) block
     cond_ref,        # (TB, C) (dummy (TB, 1) when has_cond=False)
     *args,           # weight refs..., out_ref [, weights_out_ref], scratch
-    num_freqs: int,
     trunk_depth: int,
     skips: tuple,
     rgb_branch_depth: int,
@@ -117,7 +88,7 @@ def _raymarch_kernel(
 
   j = pl.program_id(1)
   num_blocks = pl.num_programs(1)
-  tb, tile_s = px_ref.shape
+  tb, tile_s, _ = pe_ref.shape
 
   # Unpack weights in the order the host packed them.
   it = iter(weight_refs)
@@ -138,8 +109,7 @@ def _raymarch_kernel(
   # off the table. The batched 3-D dot_generals below contract the feature
   # (lane) axis and keep ts=128 rows per matmul, so MXU utilization matches
   # the flattened form.
-  x_pe = _posenc_from_channels(
-      [px_ref[:], py_ref[:], pz_ref[:]], num_freqs, dtype)  # (tb, ts, D)
+  x_pe = pe_ref[:].astype(dtype)  # (tb, ts, D)
 
   # --- trunk ---
   h = x_pe
@@ -322,8 +292,11 @@ def fused_render_level(params: Dict[str, Any],
       jnp.full_like(z_vals[:, :1], last_z)], axis=-1)
   dists = dists * jnp.linalg.norm(directions, axis=-1, keepdims=True)
 
-  # Lane-friendly layout: one (B, S) array per coordinate channel.
-  px, py, pz = (points[..., 0], points[..., 1], points[..., 2])
+  # PE computed in XLA (exact parity with the unfused path); the kernel
+  # streams it as a 3-D input block.
+  from nerfies_tpu.ops import encoding as _encoding
+  x_pe = _encoding.posenc(points, num_freqs=num_freqs)
+  pe_dim = x_pe.shape[-1]
 
   weights = _collect_weights(params, trunk_depth, rgb_branch_depth, has_cond)
   cond = (rgb_condition if has_cond
@@ -331,7 +304,6 @@ def fused_render_level(params: Dict[str, Any],
 
   kernel = functools.partial(
       _raymarch_kernel,
-      num_freqs=num_freqs,
       trunk_depth=trunk_depth,
       skips=tuple(skips),
       rgb_branch_depth=rgb_branch_depth,
@@ -347,9 +319,8 @@ def fused_render_level(params: Dict[str, Any],
   sample_block_spec = lambda: pl.BlockSpec(  # noqa: E731
       (tile_b, tile_s), lambda i, j: (i, j), memory_space=pltpu.VMEM)
   in_specs = [
-      sample_block_spec(),  # px
-      sample_block_spec(),  # py
-      sample_block_spec(),  # pz
+      pl.BlockSpec((tile_b, tile_s, pe_dim), lambda i, j: (i, j, 0),
+                   memory_space=pltpu.VMEM),  # positional encoding
       sample_block_spec(),  # z_vals
       sample_block_spec(),  # dists
       pl.BlockSpec((tile_b, cond.shape[-1]), lambda i, j: (i, 0),
@@ -376,7 +347,7 @@ def fused_render_level(params: Dict[str, Any],
       out_shape=out_shape,
       scratch_shapes=[pltpu.VMEM((tile_b, 8), jnp.float32)],
       interpret=interpret,
-  )(px, py, pz, z_vals, dists, cond, *weights)
+  )(x_pe, z_vals, dists, cond, *weights)
 
   out = outs[0]
   result = {
