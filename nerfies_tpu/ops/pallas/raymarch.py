@@ -1,51 +1,55 @@
-"""Fused ray-march kernel: PE -> NeRF MLP -> compositing, in VMEM.
+"""Fused ray-march kernels: NeRF MLP + compositing with VMEM-resident tiles.
 
 The volumetric-rendering hot path evaluated layer-by-layer in XLA writes a
-(B*S, width) activation to HBM after every matmul -- for the quarter-HD
-fine level that is ~1.5 GB of traffic per layer per step. This Pallas
-kernel keeps the whole pipeline on-chip: the grid walks (ray tiles x sample
-blocks); each step positionally encodes one block of samples, runs the
-trunk/branch matmuls (MXU) and density/color activations, and alpha-
-composites into per-ray accumulators held in VMEM scratch. Only per-ray
-results (rgb/depth/acc -- a few floats per ray) and optional per-sample
-weights ever leave VMEM.
+float32 (B*S, width) activation to HBM after every matmul -- for the
+quarter-HD fine level that is ~1.5 GB of traffic per layer per step. This
+Pallas implementation splits the pipeline into a few fused kernels, each
+keeping its activations in VMEM; only one bfloat16 trunk activation per
+segment boundary (and the tiny per-ray outputs) ever touch HBM.
 
-Design notes:
-  - The sample axis is a GRID dimension (TPU grids execute sequentially on
-    a core), with transmittance/accumulators carried in VMEM scratch --
-    the flash-attention pattern. This keeps the kernel body small (fast
-    Mosaic compiles) and lets pallas pipeline block fetches.
-  - The exclusive cumulative transmittance inside a block is computed in
-    log space with a strictly-triangular matmul (an MXU-friendly scan
-    substitute).
-  - The positional encoding is computed OUTSIDE the kernel (XLA) and
-    streamed as a (B, S, D) input: this TPU's Mosaic compile service
-    crashes on kernels that assemble many distinct (tb, ts) planes into
-    lanes (jnp.stack) -- and D*4 bytes/sample of extra input bandwidth is
-    noise next to the ~1 MFLOP/sample of MLP compute it feeds.
-  - Per-ray conditions (viewdir/GLO embeddings) contribute to the first
-    rgb-branch layer through the SplitDense identity
-    ``concat([h, c]) @ W == h @ W_top + c @ W_bottom``.
+Why segments instead of one mega-kernel: the TPU compile service in this
+environment crashes ("tpu_compile_helper subprocess exit code 1") on kernel
+bodies with more than ~6 matmuls, on kernels that assemble many distinct
+(sublane, lane) planes into a new lane axis (jnp.stack), and on any
+sublane<->lane reshape. The design below respects all three limits:
+
+  - The trunk runs as segments of <= 3 dense layers per kernel; segment
+    boundaries hand off one bf16 (B, S, width) array through HBM.
+  - The heads + compositing kernel does the density/color heads and the
+    alpha compositing (6 matmuls incl. the two triangular-scan products).
+  - The positional encoding and the per-ray condition term are computed in
+    XLA and streamed in ((B, S, D) block / (B, width) per-ray rows) -- both
+    are bandwidth-trivial next to the MLP FLOPs they feed.
+  - The grid walks (ray tiles x sample blocks); transmittance/accumulators
+    carry across sample blocks in VMEM scratch (the flash-attention
+    pattern), so arbitrarily long rays stream through fixed VMEM.
+  - The exclusive cumulative transmittance inside a block is a log-space
+    strictly-triangular matmul (an MXU-friendly scan substitute).
   - Median depth tracks the reference's opaqueness-crossing definition
     (model_utils.py:218-263) with a carried cumulative weight.
-  - Only static slices / no integer or negative indexing inside the
-    kernel: Mosaic does not lower dynamic_slice.
+  - Mosaic-lowering rules obeyed throughout: no dynamic_slice (static
+    slices only), no scatter (.at[].set), no integer/negative indexing,
+    block lane dims either full or 128-multiples.
 
 Equivalent reference math: model_utils.py:76-136 + modules.py:94-169.
 """
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 import jax.numpy as jnp
-import numpy as np
+
+from nerfies_tpu.ops import encoding as encoding_lib
 
 # Scratch accumulator columns.
 _TRANS, _CUMW, _R, _G, _B, _DEPTH, _MED, _ACC = range(8)
+
+# Compile-service budget: maximum dense layers per trunk segment kernel.
+MAX_LAYERS_PER_KERNEL = 3
 
 
 def _apply_sigma(x, name):
@@ -62,14 +66,33 @@ def _dot(a, b):
                              preferred_element_type=jnp.float32)
 
 
-def _raymarch_kernel(
-    pe_ref,          # (TB, TS, D) block: positionally-encoded samples
-    z_vals_ref,      # (TB, TS) block
-    dists_ref,       # (TB, TS) block
-    cond_ref,        # (TB, C) (dummy (TB, 1) when has_cond=False)
+def _trunk_segment_kernel(pe_ref, h_ref, *args, layer_ids: Tuple[int, ...],
+                          skips: Tuple[int, ...], first_segment: bool,
+                          dtype):
+  """Runs trunk layers `layer_ids` on one (ray tile, sample block)."""
+  out_ref = args[-1]
+  weight_refs = args[:-1]
+  x_pe = pe_ref[:].astype(dtype)
+  h = x_pe if first_segment else h_ref[:].astype(dtype)
+  it = iter(weight_refs)
+  for g in layer_ids:
+    w_ref, b_ref = next(it), next(it)
+    w = w_ref[:].astype(dtype)
+    if g in skips and g > 0:
+      h_dim = h.shape[-1]
+      out = _dot(h, w[:h_dim]) + _dot(x_pe, w[h_dim:])
+    else:
+      out = _dot(h, w)
+    h = jax.nn.relu(out + b_ref[:]).astype(dtype)
+  out_ref[:] = h.astype(out_ref.dtype)
+
+
+def _heads_kernel(
+    h_ref,           # (TB, TS, W) trunk output block
+    z_vals_ref,      # (TB, TS)
+    dists_ref,       # (TB, TS)
+    cond_term_ref,   # (TB, rgb_width) precomputed per-ray condition term
     *args,           # weight refs..., out_ref [, weights_out_ref], scratch
-    trunk_depth: int,
-    skips: tuple,
     rgb_branch_depth: int,
     has_cond: bool,
     sigma_activation: str,
@@ -78,6 +101,7 @@ def _raymarch_kernel(
     dtype,
     return_weights: bool,
 ):
+  """Density/color heads + alpha compositing for one sample block."""
   acc_ref = args[-1]  # (TB, 8) f32 VMEM scratch
   if return_weights:
     out_ref, weights_out_ref = args[-3], args[-2]
@@ -88,39 +112,21 @@ def _raymarch_kernel(
 
   j = pl.program_id(1)
   num_blocks = pl.num_programs(1)
-  tb, tile_s, _ = pe_ref.shape
+  tb, tile_s, _ = h_ref.shape
 
-  # Unpack weights in the order the host packed them.
   it = iter(weight_refs)
-  trunk_w = [(next(it), next(it)) for _ in range(trunk_depth)]
   bottleneck_w = (next(it), next(it)) if has_cond else None
   rgb_w = [(next(it), next(it)) for _ in range(rgb_branch_depth + 1)]
   alpha_w = (next(it), next(it))
 
   @pl.when(j == 0)
   def _init():
-    # No .at[].set here: that lowers to scatter, which Mosaic lacks.
+    # No .at[].set: that lowers to scatter, which Mosaic lacks.
     acc_ref[:] = jnp.concatenate(
         [jnp.ones((tb, 1), jnp.float32), jnp.zeros((tb, 7), jnp.float32)],
         axis=-1)
 
-  # Everything stays (tb, ts, features): Mosaic cannot relayout
-  # sublane<->lane reshapes, so the classic (tb*ts, features) flattening is
-  # off the table. The batched 3-D dot_generals below contract the feature
-  # (lane) axis and keep ts=128 rows per matmul, so MXU utilization matches
-  # the flattened form.
-  x_pe = pe_ref[:].astype(dtype)  # (tb, ts, D)
-
-  # --- trunk ---
-  h = x_pe
-  for i, (w_ref, b_ref) in enumerate(trunk_w):
-    w = w_ref[:].astype(dtype)
-    if i in skips and i > 0:
-      h_dim = h.shape[-1]
-      out = _dot(h, w[:h_dim]) + _dot(x_pe, w[h_dim:])
-    else:
-      out = _dot(h, w)
-    h = jax.nn.relu(out + b_ref[:]).astype(dtype)
+  h = h_ref[:].astype(dtype)
 
   # --- density head ---
   aw, ab = alpha_w
@@ -130,13 +136,12 @@ def _raymarch_kernel(
   # --- color head ---
   if has_cond:
     bw, bb = bottleneck_w
-    bneck = _dot(h, bw[:].astype(dtype)) + bb[:]
+    bneck = (_dot(h, bw[:].astype(dtype)) + bb[:]).astype(dtype)
     w0, b0 = rgb_w[0]
-    bneck_dim = bw.shape[1]
-    cond = cond_ref[:].astype(dtype)
-    cond_term = _dot(cond, w0[bneck_dim:].astype(dtype))  # (TB, width)
-    y = _dot(bneck.astype(dtype), w0[:bneck_dim].astype(dtype)) + b0[:]
-    y = y + cond_term[:, None, :]
+    # w0 holds only the bottleneck rows; the condition rows were applied
+    # in XLA and stream in as cond_term (the SplitDense identity).
+    y = _dot(bneck, w0[:].astype(dtype)) + b0[:]
+    y = y + cond_term_ref[:][:, None, :]
     if rgb_branch_depth > 0:
       # Depth 0 would make this the logit layer: no activation then.
       y = jax.nn.relu(y).astype(dtype)
@@ -203,8 +208,8 @@ def _raymarch_kernel(
     if use_white_background:
       rgb_out = rgb_out + (1.0 - acc_out)
     if sample_at_infinity:
-      # acc excludes the infinity sample: its weight is the final weight of
-      # this (last) block.
+      # acc excludes the infinity sample: its weight is the final weight
+      # of this (last) block.
       acc_out = acc_out - weights[:, tile_s - 1:tile_s]
     out_ref[:] = jnp.concatenate([
         rgb_out,
@@ -215,21 +220,9 @@ def _raymarch_kernel(
     ], axis=-1)
 
 
-def _collect_weights(params: Dict[str, Any], trunk_depth: int,
-                     rgb_branch_depth: int, has_cond: bool):
-  """Flattens NerfMLP params (modules.NerfMLP naming) into kernel order."""
-  arrays = []
-  for i in range(trunk_depth):
-    layer = params[f'trunk_hidden_{i}']
-    arrays += [layer['kernel'], layer['bias']]
-  if has_cond:
-    arrays += [params['bottleneck']['kernel'], params['bottleneck']['bias']]
-  for i in range(rgb_branch_depth):
-    layer = params[f'rgb_hidden_{i}']
-    arrays += [layer['kernel'], layer['bias']]
-  arrays += [params['rgb_logit']['kernel'], params['rgb_logit']['bias']]
-  arrays += [params['alpha_logit']['kernel'], params['alpha_logit']['bias']]
-  return arrays
+def _segment_bounds(depth: int, max_per: int) -> List[Tuple[int, ...]]:
+  return [tuple(range(a, min(a + max_per, depth)))
+          for a in range(0, depth, max_per)]
 
 
 def fused_render_level(params: Dict[str, Any],
@@ -250,7 +243,7 @@ def fused_render_level(params: Dict[str, Any],
                        use_bfloat16: bool = True,
                        return_weights: bool = False,
                        interpret: bool = False) -> Dict[str, jnp.ndarray]:
-  """Renders one sampling level with the fused Pallas kernel.
+  """Renders one sampling level with the fused Pallas kernels.
 
   Args:
     params: NerfMLP parameter subtree ('trunk_hidden_i', 'bottleneck',
@@ -262,8 +255,8 @@ def fused_render_level(params: Dict[str, Any],
     num_freqs / trunk_depth / skips / rgb_branch_depth: MLP architecture.
     sigma_activation: 'relu' or 'softplus'.
     use_white_background / sample_at_infinity: compositing options.
-    tile_b / tile_s: ray/sample tile sizes (B % tile_b == 0 and
-      S % tile_s == 0 required).
+    tile_b / tile_s: ray/sample tile sizes (B % tile_b == 0 required;
+      tile_s defaults to 128 when S divides, else the full S).
     use_bfloat16: run matmuls in bf16 (f32 accumulation).
     return_weights: also return per-sample compositing weights (B, S).
     interpret: pallas interpret mode (CPU testing).
@@ -276,13 +269,26 @@ def fused_render_level(params: Dict[str, Any],
   if batch % tile_b:
     raise ValueError(f'batch {batch} % tile_b {tile_b} != 0')
   if tile_s is None:
-    # Mosaic requires the block's lane dimension to be a multiple of 128
-    # or the full axis; pick the largest valid sample block.
+    # Mosaic requires a block's lane dimension to be a multiple of 128 or
+    # the full axis; pick the largest valid sample block.
     tile_s = 128 if total_s % 128 == 0 else total_s
   if total_s % tile_s:
     raise ValueError(f'samples {total_s} % tile_s {tile_s} != 0')
   has_cond = rgb_condition is not None
   num_blocks = total_s // tile_s
+  dtype = jnp.bfloat16 if use_bfloat16 else jnp.float32
+  grid = (batch // tile_b, num_blocks)
+
+  sample_spec = lambda: pl.BlockSpec(  # noqa: E731
+      (tile_b, tile_s), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+
+  def feat_spec(d):
+    return pl.BlockSpec((tile_b, tile_s, d), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+
+  def resident_spec(a):
+    return pl.BlockSpec(a.shape, lambda i, j, nd=a.ndim: (0,) * nd,
+                        memory_space=pltpu.VMEM)
 
   # dists with the infinity tail and |direction| scaling (reference
   # model_utils.py:103-109), precomputed in XLA.
@@ -292,44 +298,80 @@ def fused_render_level(params: Dict[str, Any],
       jnp.full_like(z_vals[:, :1], last_z)], axis=-1)
   dists = dists * jnp.linalg.norm(directions, axis=-1, keepdims=True)
 
-  # PE computed in XLA (exact parity with the unfused path); the kernel
-  # streams it as a 3-D input block.
-  from nerfies_tpu.ops import encoding as _encoding
-  x_pe = _encoding.posenc(points, num_freqs=num_freqs)
+  # PE in XLA (exact parity with the unfused path), streamed as 3-D blocks.
+  x_pe = encoding_lib.posenc(points, num_freqs=num_freqs).astype(dtype)
   pe_dim = x_pe.shape[-1]
 
-  weights = _collect_weights(params, trunk_depth, rgb_branch_depth, has_cond)
-  cond = (rgb_condition if has_cond
-          else jnp.zeros((batch, 1), jnp.float32))
+  # --- trunk segments ---
+  h = x_pe
+  for seg_idx, layer_ids in enumerate(
+      _segment_bounds(trunk_depth, MAX_LAYERS_PER_KERNEL)):
+    seg_weights = []
+    for g in layer_ids:
+      layer = params[f'trunk_hidden_{g}']
+      seg_weights += [layer['kernel'], layer['bias']]
+    width = seg_weights[0].shape[1]
+    kernel = functools.partial(
+        _trunk_segment_kernel,
+        layer_ids=layer_ids,
+        skips=tuple(skips),
+        first_segment=seg_idx == 0,
+        dtype=dtype)
+    h = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=([feat_spec(pe_dim), feat_spec(h.shape[-1])]
+                  + [resident_spec(w) for w in seg_weights]),
+        out_specs=feat_spec(width),
+        out_shape=jax.ShapeDtypeStruct((batch, total_s, width), dtype),
+        interpret=interpret,
+    )(x_pe, h, *seg_weights)
+
+  # --- per-ray condition term (SplitDense identity), in XLA ---
+  head_weights = []
+  if has_cond:
+    head_weights += [params['bottleneck']['kernel'],
+                     params['bottleneck']['bias']]
+    bneck_dim = params['bottleneck']['kernel'].shape[1]
+    first_rgb = (params['rgb_hidden_0'] if rgb_branch_depth > 0
+                 else params['rgb_logit'])
+    w0 = first_rgb['kernel']
+    cond_term = (rgb_condition @ w0[bneck_dim:]).astype(jnp.float32)
+    head_weights += [w0[:bneck_dim], first_rgb['bias']]
+    for i in range(1, rgb_branch_depth):
+      layer = params[f'rgb_hidden_{i}']
+      head_weights += [layer['kernel'], layer['bias']]
+    if rgb_branch_depth > 0:
+      head_weights += [params['rgb_logit']['kernel'],
+                       params['rgb_logit']['bias']]
+  else:
+    cond_term = jnp.zeros((batch, 1), jnp.float32)
+    for i in range(rgb_branch_depth):
+      layer = params[f'rgb_hidden_{i}']
+      head_weights += [layer['kernel'], layer['bias']]
+    head_weights += [params['rgb_logit']['kernel'],
+                     params['rgb_logit']['bias']]
+  head_weights += [params['alpha_logit']['kernel'],
+                   params['alpha_logit']['bias']]
 
   kernel = functools.partial(
-      _raymarch_kernel,
-      trunk_depth=trunk_depth,
-      skips=tuple(skips),
+      _heads_kernel,
       rgb_branch_depth=rgb_branch_depth,
       has_cond=has_cond,
       sigma_activation=sigma_activation,
       use_white_background=use_white_background,
       sample_at_infinity=sample_at_infinity,
-      dtype=jnp.bfloat16 if use_bfloat16 else jnp.float32,
+      dtype=dtype,
       return_weights=return_weights,
   )
-
-  grid = (batch // tile_b, num_blocks)
-  sample_block_spec = lambda: pl.BlockSpec(  # noqa: E731
-      (tile_b, tile_s), lambda i, j: (i, j), memory_space=pltpu.VMEM)
   in_specs = [
-      pl.BlockSpec((tile_b, tile_s, pe_dim), lambda i, j: (i, j, 0),
-                   memory_space=pltpu.VMEM),  # positional encoding
-      sample_block_spec(),  # z_vals
-      sample_block_spec(),  # dists
-      pl.BlockSpec((tile_b, cond.shape[-1]), lambda i, j: (i, 0),
+      feat_spec(h.shape[-1]),
+      sample_spec(),  # z_vals
+      sample_spec(),  # dists
+      pl.BlockSpec((tile_b, cond_term.shape[-1]), lambda i, j: (i, 0),
                    memory_space=pltpu.VMEM),
   ]
-  in_specs += [
-      pl.BlockSpec(w.shape, lambda i, j, nd=w.ndim: (0,) * nd,
-                   memory_space=pltpu.VMEM) for w in weights
-  ]
+  in_specs += [resident_spec(w) for w in head_weights]
 
   out_specs = [pl.BlockSpec((tile_b, 8), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)]
@@ -347,7 +389,7 @@ def fused_render_level(params: Dict[str, Any],
       out_shape=out_shape,
       scratch_shapes=[pltpu.VMEM((tile_b, 8), jnp.float32)],
       interpret=interpret,
-  )(x_pe, z_vals, dists, cond, *weights)
+  )(h, z_vals, dists, cond_term, *head_weights)
 
   out = outs[0]
   result = {
