@@ -266,14 +266,27 @@ def fused_render_level(params: Dict[str, Any],
      [, 'weights' (B,S)]}.
   """
   batch, total_s, _ = points.shape
-  if batch % tile_b:
-    raise ValueError(f'batch {batch} % tile_b {tile_b} != 0')
   if tile_s is None:
     # Mosaic requires a block's lane dimension to be a multiple of 128 or
     # the full axis; pick the largest valid sample block.
     tile_s = 128 if total_s % 128 == 0 else total_s
   if total_s % tile_s:
     raise ValueError(f'samples {total_s} % tile_s {tile_s} != 0')
+
+  # Shrink the ray tile until the widest kernel's double-buffered blocks fit
+  # comfortably in the ~16 MB of VMEM (overflow crashes the compile
+  # service rather than erroring).
+  width = params['trunk_hidden_0']['kernel'].shape[1]
+  pe_width = 3 * (2 * num_freqs + 1)
+  bytes_per_elem = 2 if use_bfloat16 else 4
+  vmem_budget = 10 * 1024 * 1024
+  while tile_b > 8:
+    per_row = tile_s * (pe_width + 2 * width) * bytes_per_elem
+    if 2 * tile_b * per_row <= vmem_budget:
+      break
+    tile_b //= 2
+  if batch % tile_b:
+    raise ValueError(f'batch {batch} % tile_b {tile_b} != 0')
   has_cond = rgb_condition is not None
   num_blocks = total_s // tile_s
   dtype = jnp.bfloat16 if use_bfloat16 else jnp.float32
