@@ -414,3 +414,189 @@ def fused_render_level(params: Dict[str, Any],
   if return_weights:
     result['weights'] = outs[1]
   return result
+
+
+def _flat_segment_kernel(pe_ref, h_ref, *args, layer_ids: Tuple[int, ...],
+                         skips: Tuple[int, ...], first_segment: bool, dtype):
+  """Trunk layers `layer_ids` over a flat (tile_n, features) row block."""
+  out_ref = args[-1]
+  weight_refs = args[:-1]
+  x_pe = pe_ref[:].astype(dtype)
+  h = x_pe if first_segment else h_ref[:].astype(dtype)
+  it = iter(weight_refs)
+  for g in layer_ids:
+    w_ref, b_ref = next(it), next(it)
+    w = w_ref[:].astype(dtype)
+    if g in skips and g > 0:
+      h_dim = h.shape[-1]
+      out = _dot(h, w[:h_dim]) + _dot(x_pe, w[h_dim:])
+    else:
+      out = _dot(h, w)
+    h = jax.nn.relu(out + b_ref[:]).astype(dtype)
+  out_ref[:] = h.astype(out_ref.dtype)
+
+
+def _flat_heads_kernel(h_ref, cond_term_ref, *args, rgb_branch_depth: int,
+                       has_cond: bool, dtype):
+  """Density + color heads over flat rows -> raw sigma (N,1), rgb (N,3)."""
+  sigma_ref, rgb_ref = args[-2], args[-1]
+  weight_refs = args[:-2]
+  it = iter(weight_refs)
+  bottleneck_w = (next(it), next(it)) if has_cond else None
+  rgb_w = [(next(it), next(it)) for _ in range(rgb_branch_depth + 1)]
+  alpha_w = (next(it), next(it))
+
+  h = h_ref[:].astype(dtype)
+  aw, ab = alpha_w
+  sigma_ref[:] = _dot(h, aw[:].astype(dtype)) + ab[:]
+
+  if has_cond:
+    bw, bb = bottleneck_w
+    bneck = (_dot(h, bw[:].astype(dtype)) + bb[:]).astype(dtype)
+    w0, b0 = rgb_w[0]
+    y = _dot(bneck, w0[:].astype(dtype)) + b0[:] + cond_term_ref[:]
+    if rgb_branch_depth > 0:
+      y = jax.nn.relu(y).astype(dtype)
+    rest = rgb_w[1:]
+  else:
+    y = h
+    rest = rgb_w
+  for i, (w_ref, b_ref) in enumerate(rest):
+    y = _dot(y.astype(dtype), w_ref[:].astype(dtype)) + b_ref[:]
+    if i < len(rest) - 1:
+      y = jax.nn.relu(y).astype(dtype)
+  rgb_ref[:] = y.astype(jnp.float32)
+
+
+def fused_mlp_level(params: Dict[str, Any],
+                    points: jnp.ndarray,
+                    z_vals: jnp.ndarray,
+                    directions: jnp.ndarray,
+                    rgb_condition: Optional[jnp.ndarray],
+                    *,
+                    num_freqs: int,
+                    trunk_depth: int = 8,
+                    skips: tuple = (4,),
+                    rgb_branch_depth: int = 1,
+                    sigma_activation: str = 'softplus',
+                    use_white_background: bool = False,
+                    sample_at_infinity: bool = True,
+                    tile_n: int = 4096,
+                    use_bfloat16: bool = True,
+                    return_weights: bool = False,
+                    interpret: bool = False) -> Dict[str, jnp.ndarray]:
+  """Renders one level with flat 2-D MLP kernels + XLA compositing.
+
+  Alternative to `fused_render_level`: the MLP runs as fat (tile_n, D)
+  matmul-chain kernels over flattened samples (XLA reshapes HBM arrays for
+  free; only in-kernel sublane<->lane relayouts are forbidden), and the
+  cheap compositing runs in XLA. Compared to the fully-fused path this
+  trades one small (N, width) handoff per segment for 2-D matmuls that
+  Mosaic schedules much better than batched 3-D dots.
+  """
+  from nerfies_tpu.ops import rendering as rendering_lib
+
+  batch, total_s, _ = points.shape
+  n = batch * total_s
+  has_cond = rgb_condition is not None
+  dtype = jnp.bfloat16 if use_bfloat16 else jnp.float32
+  if n % tile_n:
+    tile_n = math_gcd_tile(n)
+  grid = (n // tile_n,)
+
+  x_pe = encoding_lib.posenc(points, num_freqs=num_freqs)
+  pe_dim = x_pe.shape[-1]
+  x_pe = x_pe.reshape(n, pe_dim).astype(dtype)
+
+  def row_spec(d):
+    return pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+  def resident1(a):
+    return pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+  h = x_pe
+  for seg_idx, layer_ids in enumerate(
+      _segment_bounds(trunk_depth, MAX_LAYERS_PER_KERNEL)):
+    seg_weights = []
+    for g in layer_ids:
+      layer = params[f'trunk_hidden_{g}']
+      seg_weights += [layer['kernel'], layer['bias']]
+    width = seg_weights[0].shape[1]
+    kernel = functools.partial(
+        _flat_segment_kernel, layer_ids=layer_ids, skips=tuple(skips),
+        first_segment=seg_idx == 0, dtype=dtype)
+    h = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=([row_spec(pe_dim), row_spec(h.shape[-1])]
+                  + [resident1(w) for w in seg_weights]),
+        out_specs=row_spec(width),
+        out_shape=jax.ShapeDtypeStruct((n, width), dtype),
+        interpret=interpret,
+    )(x_pe, h, *seg_weights)
+
+  head_weights = []
+  rgb_width = None
+  if has_cond:
+    head_weights += [params['bottleneck']['kernel'],
+                     params['bottleneck']['bias']]
+    bneck_dim = params['bottleneck']['kernel'].shape[1]
+    first_rgb = (params['rgb_hidden_0'] if rgb_branch_depth > 0
+                 else params['rgb_logit'])
+    w0 = first_rgb['kernel']
+    rgb_width = w0.shape[1]
+    cond_term = (rgb_condition @ w0[bneck_dim:]).astype(jnp.float32)
+    # Broadcast the per-ray term to per-sample rows (XLA).
+    cond_term_flat = jnp.broadcast_to(
+        cond_term[:, None, :], (batch, total_s, rgb_width)).reshape(
+            n, rgb_width)
+    head_weights += [w0[:bneck_dim], first_rgb['bias']]
+    for i in range(1, rgb_branch_depth):
+      layer = params[f'rgb_hidden_{i}']
+      head_weights += [layer['kernel'], layer['bias']]
+    if rgb_branch_depth > 0:
+      head_weights += [params['rgb_logit']['kernel'],
+                       params['rgb_logit']['bias']]
+  else:
+    cond_term_flat = jnp.zeros((n, 1), jnp.float32)
+    for i in range(rgb_branch_depth):
+      layer = params[f'rgb_hidden_{i}']
+      head_weights += [layer['kernel'], layer['bias']]
+    head_weights += [params['rgb_logit']['kernel'],
+                     params['rgb_logit']['bias']]
+  head_weights += [params['alpha_logit']['kernel'],
+                   params['alpha_logit']['bias']]
+
+  kernel = functools.partial(
+      _flat_heads_kernel, rgb_branch_depth=rgb_branch_depth,
+      has_cond=has_cond, dtype=dtype)
+  raw_sigma, rgb_raw = pl.pallas_call(
+      kernel,
+      grid=grid,
+      in_specs=([row_spec(h.shape[-1]), row_spec(cond_term_flat.shape[-1])]
+                + [resident1(w) for w in head_weights]),
+      out_specs=[row_spec(1), row_spec(3)],
+      out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((n, 3), jnp.float32)],
+      interpret=interpret,
+  )(h, cond_term_flat, *head_weights)
+
+  # Activations + compositing in XLA (cheap, fuses well).
+  act = jax.nn.relu if sigma_activation == 'relu' else jax.nn.softplus
+  sigma = act(raw_sigma.reshape(batch, total_s))
+  rgb = jax.nn.sigmoid(rgb_raw.reshape(batch, total_s, 3))
+  return rendering_lib.volumetric_rendering(
+      rgb, sigma, z_vals, directions,
+      use_white_background=use_white_background,
+      sample_at_infinity=sample_at_infinity,
+      return_weights=return_weights)
+
+
+def math_gcd_tile(n: int, preferred: int = 4096) -> int:
+  """Largest divisor of n that is <= preferred and a multiple of 8."""
+  tile = min(preferred, n)
+  while tile > 8 and (n % tile or tile % 8):
+    tile -= 8
+  return max(tile, 8)

@@ -26,7 +26,7 @@ def sync(tree):
 
 
 def main():
-  batch = 32768
+  batch = 8192
   config = configs.ModelConfig(
       num_coarse_samples=128, num_fine_samples=128,
       nerf_trunk_depth=8, nerf_trunk_width=256,
@@ -57,15 +57,46 @@ def main():
   warp_extra = {'alpha': jnp.asarray(6.0), 'time_alpha': jnp.asarray(0.0)}
   key = jax.random.PRNGKey(0)
 
-  for name, use_fused, tile_b, tile_s in (
-      ('fused tb=64 ts=128', True, 64, 128),
-      ('fused tb=128 ts=128', True, 128, 128),
-      ('fused tb=256 ts=128', True, 256, 128),
-      ('unfused', False, 0, 0),
+  from nerfies_tpu.ops.pallas import raymarch as rm
+
+  def flat_pipeline(p, r, tile_n):
+    from nerfies_tpu.ops import rendering as rnd
+    origins, directions_, metadata = r['origins'], r['directions'], r['metadata']
+    _, _, rgb_cond = model.apply({'params': p}, directions_, metadata, False,
+                                 method=model.get_condition_inputs)
+    def warp_pts(pts):
+      out = model.apply({'params': p}, pts, metadata['warp'], warp_extra,
+                        False, False, method=model.apply_warp)
+      return out['warped_points']
+    kw = dict(num_freqs=model.num_nerf_point_freqs,
+              trunk_depth=model.nerf_trunk_depth, skips=tuple(model.nerf_skips),
+              rgb_branch_depth=model.nerf_rgb_branch_depth,
+              sigma_activation='softplus', sample_at_infinity=True,
+              tile_n=tile_n, use_bfloat16=True)
+    z, pts = rnd.sample_along_rays(None, origins, directions_,
+                                   model.num_coarse_samples, model.near,
+                                   model.far, False, False)
+    coarse = rm.fused_mlp_level(p['nerf_mlps_coarse'], warp_pts(pts), z,
+                                directions_, rgb_cond, return_weights=True,
+                                **kw)
+    zm = 0.5 * (z[..., 1:] + z[..., :-1])
+    z, pts = rnd.sample_pdf(None, zm, coarse['weights'][..., 1:-1], origins,
+                            directions_, z, model.num_fine_samples, False)
+    fine = rm.fused_mlp_level(p['nerf_mlps_fine'], warp_pts(pts), z,
+                              directions_, rgb_cond, **kw)
+    return {'fine': fine}
+
+  for name, mode, tile_b, tile_s in (
+      ('flat tn=4096', 'flat', 4096, 0),
+      ('flat tn=8192', 'flat', 8192, 0),
+      ('fused3d tb=64 ts=128', 'fused', 64, 128),
+      ('unfused', 'xla', 0, 0),
   ):
-    if use_fused:
+    if mode == 'fused':
       fn = jax.jit(lambda p, r: evaluation.fused_render_rays(
           model, p, r, warp_extra, tile_b=tile_b, tile_s=tile_s))
+    elif mode == 'flat':
+      fn = jax.jit(lambda p, r, tn=tile_b: flat_pipeline(p, r, tn))
     else:
       def unfused(p, r):
         return model.apply({'params': p}, r, warp_extra=warp_extra)
@@ -82,7 +113,7 @@ def main():
       sync(out)
       dt = (time.perf_counter() - t0) / n
       print(f'{name}: steady {dt*1000:.1f} ms -> {batch/dt/1e3:.1f}k rays/s'
-            f' -> 1080p frame in {2073600/ (batch/dt):.2f}s', flush=True)
+            f' -> 1080p frame in {2073600 / (batch/dt):.2f}s', flush=True)
     except Exception as e:
       print(f'{name}: FAILED {type(e).__name__}: {str(e)[:300]}', flush=True)
 

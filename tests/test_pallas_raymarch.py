@@ -169,3 +169,26 @@ def test_fused_full_pipeline_matches_model():
                                np.asarray(ref[level]['acc']), atol=3e-5)
     np.testing.assert_allclose(np.asarray(got[level]['depth']),
                                np.asarray(ref[level]['depth']), atol=3e-4)
+
+
+@pytest.mark.parametrize('with_cond', [True, False])
+def test_flat_mlp_level_matches_reference(with_cond):
+  num_freqs = 4
+  mlp, params, points, z_vals, directions, cond = _setup(
+      with_cond=with_cond)
+  ref = _reference_level(
+      params, points, z_vals, directions, cond, num_freqs=num_freqs,
+      sigma_activation='softplus', use_white_background=False,
+      sample_at_infinity=True, mlp=mlp)
+  got = raymarch.fused_mlp_level(
+      params, points, z_vals, directions, cond,
+      num_freqs=num_freqs, trunk_depth=4, skips=(2,), rgb_branch_depth=1,
+      sigma_activation='softplus', use_white_background=False,
+      sample_at_infinity=True, tile_n=1024, use_bfloat16=False,
+      interpret=True)
+  np.testing.assert_allclose(np.asarray(got['rgb']),
+                             np.asarray(ref['rgb']), atol=2e-5)
+  np.testing.assert_allclose(np.asarray(got['acc']),
+                             np.asarray(ref['acc']), atol=2e-5)
+  np.testing.assert_allclose(np.asarray(got['med_depth']),
+                             np.asarray(ref['med_depth']), atol=2e-4)
