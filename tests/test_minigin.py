@@ -171,6 +171,5 @@ def test_tpu_config_preset():
   model = configs.ModelConfig()
   assert model.use_bfloat16 is True
   assert model.use_remat is True
-  assert model.use_fused_raymarch is True
   train = configs.TrainConfig()
   assert train.batch_size == 6144  # inherits gpu_quarterhd
