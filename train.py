@@ -32,6 +32,9 @@ flags.mark_flag_as_required('base_folder')
 flags.DEFINE_string('data_dir', None, 'input data directory.')
 flags.DEFINE_multi_string('gin_bindings', None, 'Gin parameter bindings.')
 flags.DEFINE_multi_string('gin_configs', (), 'Gin config files.')
+flags.DEFINE_string('profile_dir', None,
+                    'If set, capture a jax.profiler trace of steps '
+                    '10-20 into this directory.')
 FLAGS = flags.FLAGS
 
 
@@ -221,6 +224,11 @@ def main(argv):
     state = state.replace(
         warp_alpha=jax.device_put(np.float32(warp_alpha_sched(step))),
         time_alpha=jax.device_put(np.float32(time_alpha_sched(step))))
+
+    if FLAGS.profile_dir and step == init_step + 10:
+      jax.profiler.start_trace(FLAGS.profile_dir)
+    if FLAGS.profile_dir and step == init_step + 20:
+      jax.profiler.stop_trace()
 
     with time_tracker.record_time('train_step'):
       step_rng = random.fold_in(rng, step)
