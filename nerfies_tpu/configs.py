@@ -87,6 +87,10 @@ class ModelConfig:
   # required to fit the quarter-HD batch (6144 rays x 256 samples) on a
   # single 16 GB chip.
   use_remat: bool = True
+  # Remat policy: 'nothing' recomputes everything (least memory);
+  # 'dots' saves matmul outputs and recomputes only elementwise ops
+  # (measured ~4% faster on the quarter-HD step, still fits 16 GB).
+  remat_policy: str = 'dots'
   # Use the fused Pallas ray-march kernel for the MLP+compositing hot path.
   use_fused_raymarch: bool = False
 

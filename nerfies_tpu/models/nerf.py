@@ -25,6 +25,7 @@ from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import flax.linen as nn
 from flax.core import FrozenDict
+import jax
 import jax.numpy as jnp
 from jax import random
 
@@ -85,6 +86,7 @@ class NerfModel(nn.Module):
   use_alpha_condition: bool = False
   use_rgb_condition: bool = False
   use_remat: bool = True
+  remat_policy: str = 'dots'
   use_bfloat16: bool = False
   use_fused_raymarch: bool = False
   warp_kwargs: Mapping[str, Any] = FrozenDict()
@@ -130,8 +132,12 @@ class NerfModel(nn.Module):
 
     # Rematerialization: recompute trunk activations in the backward pass
     # instead of holding (B, S, width) f32 tensors in HBM per layer.
-    nerf_mlp_cls = (nn.remat(modules.NerfMLP)
-                    if self.use_remat else modules.NerfMLP)
+    if self.use_remat:
+      policy = (jax.checkpoint_policies.dots_saveable
+                if self.remat_policy == 'dots' else None)
+      nerf_mlp_cls = nn.remat(modules.NerfMLP, policy=policy)
+    else:
+      nerf_mlp_cls = modules.NerfMLP
     nerf_mlps = {
         'coarse': nerf_mlp_cls(
             trunk_depth=self.nerf_trunk_depth,
@@ -392,6 +398,7 @@ def construct_nerf(key,
       warp_metadata_encoder_type=config.warp_metadata_encoder_type,
       warp_kwargs=FrozenDict(config.warp_kwargs),
       use_remat=config.use_remat,
+      remat_policy=config.remat_policy,
       use_bfloat16=config.use_bfloat16,
       use_fused_raymarch=config.use_fused_raymarch,
   )
