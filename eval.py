@@ -99,6 +99,16 @@ def process_batch(*, batch, rng, state, tag, item_id, step, render_fn,
     images['error_abs'] = viz.colorize(abs_error, cmin=0.0, cmax=1.0)
     images['error_sq'] = viz.colorize(abs_error ** 2, cmin=0.0, cmax=1.0)
 
+  if 'depth' in batch:
+    # Depth MAE against ground-truth depth where defined (parity:
+    # reference eval.py:137-140).
+    gt_depth = np.asarray(batch['depth'])[..., 0]
+    valid = gt_depth > 0
+    if valid.any():
+      stats['depth_mae'] = float(
+          np.abs(depth_med - gt_depth)[valid].mean())
+      images['depth_gt'] = depth_norm(gt_depth)
+
   if summary_writer is not None:
     for name, image in images.items():
       summary_writer.add_image(f'{tag}/{item_id}/{name}',

@@ -280,3 +280,26 @@ def test_time_metadata_encoder_model():
                     rngs={'coarse': jax.random.PRNGKey(1),
                           'fine': jax.random.PRNGKey(2)})
   assert np.isfinite(np.asarray(out['fine']['rgb'])).all()
+
+
+def test_blend_metadata_encoder_field():
+  field = warping.create_warp_field(
+      field_type='translation', num_freqs=2, num_embeddings=4,
+      num_features=4, metadata_encoder_type='blend',
+      metadata_encoder_num_freqs=1)
+  points = jax.random.normal(jax.random.PRNGKey(0), (3, 5, 3))
+  # Blend interpolates between GLO codes (by id) and time codes: metadata
+  # doubles as both the integer id and the (cast) timestamp, as in the
+  # reference blend path (warping.py:142-146).
+  metadata = jnp.asarray([[0], [1], [3]], jnp.uint32)
+  extra = {'alpha': jnp.asarray(2.0), 'time_alpha': jnp.asarray(0.3)}
+  params = field.init(jax.random.PRNGKey(1), points, metadata, extra)
+  out = field.apply(params, points, metadata, extra)
+  assert out['warped_points'].shape == (3, 5, 3)
+  assert np.isfinite(np.asarray(out['warped_points'])).all()
+  # time_alpha changes the blend, so outputs must differ.
+  out2 = field.apply(params, points, metadata,
+                     {'alpha': jnp.asarray(2.0),
+                      'time_alpha': jnp.asarray(0.9)})
+  assert np.abs(np.asarray(out['warped_points']
+                           - out2['warped_points'])).max() > 0
