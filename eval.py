@@ -52,13 +52,33 @@ def _make_summary_writer(summary_dir):
 
 
 def compute_multiscale_ssim(image1: np.ndarray, image2: np.ndarray) -> float:
-  """MS-SSIM between two float images (JAX impl; parity eval.py:58-62)."""
+  """MS-SSIM between two float images (JAX impl; parity eval.py:58-62).
+
+  Small renders (e.g. image_scale 8 test configs) cannot support the full
+  5 dyadic scales of the 11px window; rather than silently dropping the
+  metric, fall back to the feasible scale count with renormalized power
+  weights and log a warning.
+  """
+  num_scales = ssim_lib.max_feasible_scales(image1.shape[0], image1.shape[1])
+  weights = ssim_lib.MSSSIM_WEIGHTS
+  if num_scales == 0:
+    logging.warning('Image %dx%d smaller than the SSIM window; skipping '
+                    'MS-SSIM.', image1.shape[0], image1.shape[1])
+    return float('nan')
+  if num_scales < len(weights):
+    logging.warning(
+        'Image %dx%d too small for %d-scale MS-SSIM; using %d scales '
+        '(renormalized weights).', image1.shape[0], image1.shape[1],
+        len(weights), num_scales)
+    truncated = weights[:num_scales]
+    weights = tuple(w / sum(truncated) for w in truncated)
   return float(ssim_lib.multiscale_ssim(jnp.asarray(image1),
-                                        jnp.asarray(image2)))
+                                        jnp.asarray(image2),
+                                        weights=weights))
 
 
 def process_batch(*, batch, rng, state, tag, item_id, step, render_fn,
-                  summary_writer, save_dir, datasource):
+                  summary_writer, save_dir, datasource, chunk=8192):
   """Renders one example and logs metrics/images.
 
   Parity: reference eval.py:83-153.
@@ -68,7 +88,8 @@ def process_batch(*, batch, rng, state, tag, item_id, step, render_fn,
       'directions': batch['directions'],
       'metadata': batch['metadata'],
   }
-  out = evaluation.render_image(state, rays_dict, render_fn, rng=rng)
+  out = evaluation.render_image(state, rays_dict, render_fn, rng=rng,
+                                chunk=chunk)
   rgb = np.asarray(out['rgb'])
   acc = np.asarray(out['acc'])
   depth_exp = np.asarray(out['depth'])
@@ -91,9 +112,9 @@ def process_batch(*, batch, rng, state, tag, item_id, step, render_fn,
     mse = float(((rgb - target) ** 2).mean())
     stats['mse'] = mse
     stats['psnr'] = float(mathutils.compute_psnr(jnp.asarray(mse)))
-    min_side = min(rgb.shape[0], rgb.shape[1])
-    if min_side >= 176:  # MS-SSIM needs 5 dyadic scales of the 11px window
-      stats['ms_ssim'] = compute_multiscale_ssim(target, rgb)
+    ms_ssim = compute_multiscale_ssim(target, rgb)
+    if not np.isnan(ms_ssim):
+      stats['ms_ssim'] = ms_ssim
     abs_error = np.abs(target - rgb).mean(axis=-1)
     images['rgb_target'] = target
     images['error_abs'] = viz.colorize(abs_error, cmin=0.0, cmax=1.0)
@@ -136,7 +157,7 @@ def process_batch(*, batch, rng, state, tag, item_id, step, render_fn,
 
 
 def process_iterator(*, tag, item_ids, iterator, rng, state, step, render_fn,
-                     summary_writer, save_dir, datasource):
+                     summary_writer, save_dir, datasource, chunk=8192):
   """Renders a set of examples, aggregating metric means.
 
   Parity: reference eval.py:155-214.
@@ -146,7 +167,7 @@ def process_iterator(*, tag, item_ids, iterator, rng, state, step, render_fn,
     stats = process_batch(
         batch=batch, rng=rng, state=state, tag=tag, item_id=item_id,
         step=step, render_fn=render_fn, summary_writer=summary_writer,
-        save_dir=save_dir, datasource=datasource)
+        save_dir=save_dir, datasource=datasource, chunk=chunk)
     for k, v in stats.items():
       meters[k].update(v)
   if summary_writer is not None:
@@ -171,12 +192,35 @@ def delete_old_renders(render_dir, max_renders: int):
     path.rmtree()
 
 
-def _test_cameras_iterator(datasource, cameras, metadata_ids):
-  """Whole-image ray dicts for novel-view cameras with fixed metadata."""
+def _draw_test_metadata(datasource, model_config, rng):
+  """Random metadata ids for a novel-view camera.
+
+  Parity: reference eval.py:168-194 draws random appearance/warp/camera ids
+  per test render (we draw per camera instead of reusing one key, and fill
+  `time` as float32 — the reference's uint32 fill at eval.py:190-193 is a
+  documented bug).
+  """
+  metadata_ids = {}
+  if model_config.use_warp:
+    metadata_ids['warp'] = int(rng.choice(datasource.warp_ids))
+  if model_config.use_appearance_metadata:
+    metadata_ids['appearance'] = int(rng.choice(datasource.appearance_ids))
+  if model_config.use_camera_metadata:
+    metadata_ids['camera'] = int(rng.choice(datasource.camera_ids))
+  if model_config.warp_metadata_encoder_type == 'time':
+    metadata_ids['time'] = float(rng.uniform(0.0, 1.0))
+  return metadata_ids
+
+
+def _test_cameras_iterator(datasource, cameras, model_config, seed=20200823):
+  """Whole-image ray dicts for novel-view cameras with random metadata."""
   from nerfies_tpu.datasets import core as ds_core
+  rng = np.random.default_rng(seed)
   for camera in cameras:
     rays = ds_core.camera_to_rays(camera)
     h, w = rays['directions'].shape[:2]
+    metadata_ids = _draw_test_metadata(datasource, model_config, rng)
+    logging.info('Test camera metadata: %s', metadata_ids)
     metadata = {
         k: np.full((h, w, 1), v, np.float32 if k == 'time' else np.uint32)
         for k, v in metadata_ids.items()
@@ -240,7 +284,6 @@ def main(argv):
 
   mesh = mesh_lib.create_mesh()
   render_fn = evaluation.make_render_fn(model, mesh)
-  render_fn = functools.partial(render_fn)
 
   summary_writer = _make_summary_writer(summary_dir) \
       if jax.process_index() == 0 else None
@@ -269,37 +312,28 @@ def main(argv):
     logging.info('Evaluating checkpoint at step %d', step)
 
     save_dir = (render_root / f'{step}') if eval_config.save_output else None
-    chunked_render_fn = functools.partial(render_fn)
 
     def run_render(tag, ids):
       iterator = datasource.create_iterator(ids, batch_size=0, repeat=False)
       return process_iterator(
           tag=tag, item_ids=ids, iterator=iterator, rng=rng, state=state,
-          step=step, render_fn=chunked_render_fn,
+          step=step, render_fn=render_fn,
           summary_writer=summary_writer, save_dir=save_dir,
-          datasource=datasource)
+          datasource=datasource, chunk=eval_config.chunk)
 
     if val_ids:
       run_render('val', val_ids)
     if train_ids:
       run_render('train', train_ids)
     if test_cameras:
-      test_metadata = {}
-      if model_config.use_warp:
-        test_metadata['warp'] = datasource.warp_ids[0]
-      if model_config.use_appearance_metadata:
-        test_metadata['appearance'] = datasource.appearance_ids[0]
-      if model_config.use_camera_metadata:
-        test_metadata['camera'] = datasource.camera_ids[0]
-      if model_config.warp_metadata_encoder_type == 'time':
-        test_metadata['time'] = 0.0
       iterator = _test_cameras_iterator(datasource, test_cameras,
-                                        test_metadata)
+                                        model_config,
+                                        seed=exp_config.random_seed + step)
       process_iterator(
           tag='test', item_ids=[f'{i:04d}' for i in range(len(test_cameras))],
           iterator=iterator, rng=rng, state=state, step=step,
-          render_fn=chunked_render_fn, summary_writer=summary_writer,
-          save_dir=save_dir, datasource=datasource)
+          render_fn=render_fn, summary_writer=summary_writer,
+          save_dir=save_dir, datasource=datasource, chunk=eval_config.chunk)
 
     if eval_config.save_output:
       delete_old_renders(render_root, eval_config.max_render_checkpoints)

@@ -119,6 +119,8 @@ class NerfiesDataSource(core.DataSource):
       return []
     camera_paths = sorted(camera_dir.glob(f'*{self.camera_ext}'), key=str)
     if count is not None:
+      if count <= 0:
+        return []
       stride = max(1, len(camera_paths) // count)
       camera_paths = camera_paths[::stride]
     return core.parallel_map(self.load_camera, camera_paths)

@@ -162,7 +162,9 @@ def render_image(
   if rng is None:
     rng = jax.random.PRNGKey(0)
   if device_multiple is None:
-    device_multiple = jax.device_count()
+    # Multiple of 8 keeps partial chunks compatible with the fused
+    # ray-march's minimum (sublane-height) ray tile.
+    device_multiple = math.lcm(jax.device_count(), 8)
   h, w = rays_dict['origins'].shape[:2]
   num_rays = h * w
   rays_dict = jax.tree.map(

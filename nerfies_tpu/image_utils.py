@@ -61,6 +61,8 @@ def reshape_image(image: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
 
 def rescale_image(image: np.ndarray, scale_factor: float) -> np.ndarray:
   """Rescales by a factor, preferring exact integer paths."""
+  # int.is_integer() only exists on Python >= 3.12; accept int factors.
+  scale_factor = float(scale_factor)
   if scale_factor <= 0.0:
     raise ValueError('scale_factor must be a non-negative number.')
   if scale_factor == 1.0:

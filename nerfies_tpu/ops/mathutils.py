@@ -117,42 +117,52 @@ def inv_affine_softplus(scale, lo=0, ref=1):
 def general_loss_with_squared_residual(squared_x, alpha, scale):
   """Barron's general adaptive robust loss, applied to squared residuals.
 
-  Implements rho(x, alpha, c) from "A General and Adaptive Robust Loss
-  Function" (https://arxiv.org/abs/1701.03077), fused on the squared
-  residual to avoid a sqrt/square round-trip. Behavior-compatible with
-  reference utils.py:264-331 (including the final `scale *` factor).
+  Evaluates `scale * rho(x, alpha, c)` where rho is eq. (1) of "A General
+  and Adaptive Robust Loss Function" (arXiv:1701.03077):
+
+      rho(x, a, c) = (|a-2| / a) * ((z / |a-2| + 1)^(a/2) - 1),
+      z = (x / c)^2,
+
+  with the removable singularities filled in by their limits: 0.5*z at
+  a = 2 (L2), log1p(0.5*z) at a = 0 (Cauchy), 1 - exp(-0.5*z) at
+  a = -inf (Welsch), exp(0.5*z) - 1 at a = +inf. Behavior-compatible with
+  reference utils.py:264-331 (including the final `scale *` factor);
+  taking the squared residual directly avoids a sqrt/square round-trip.
 
   Args:
-    squared_x: squared residuals, any shape.
+    squared_x: squared residuals x^2, any shape.
     alpha: shape parameter; -2 = Geman-McClure, 0 = Cauchy, 2 = L2.
     scale: the scale parameter c.
 
   Returns:
     Loss values, same shape as `squared_x`.
   """
-  eps = jnp.finfo(jnp.float32).eps
-  alpha = jnp.asarray(alpha, dtype=jnp.result_type(squared_x, jnp.float32))
+  dtype = jnp.result_type(squared_x, jnp.float32)
+  alpha = jnp.asarray(alpha, dtype=dtype)
+  z = squared_x / (scale * scale)
 
-  squared_scaled_x = squared_x / (scale ** 2)
+  # The general branch is evaluated everywhere (XLA computes all lanes of a
+  # select anyway), so keep its denominators bounded away from the a = 0 and
+  # a = 2 singularities; those lanes are replaced by their limits below.
+  tiny = jnp.finfo(dtype).eps
+  abs_am2 = jnp.maximum(jnp.abs(alpha - 2.0), tiny)
+  signed_a = jnp.where(alpha < 0.0, -1.0, 1.0) * jnp.maximum(
+      jnp.abs(alpha), tiny)
+  general = abs_am2 / signed_a * (
+      jnp.power(z / abs_am2 + 1.0, 0.5 * alpha) - 1.0)
 
-  loss_two = 0.5 * squared_scaled_x
-  loss_zero = log1p_safe(0.5 * squared_scaled_x)
-  loss_neginf = -jnp.expm1(-0.5 * squared_scaled_x)
-  loss_posinf = expm1_safe(0.5 * squared_scaled_x)
-
-  beta_safe = jnp.maximum(eps, jnp.abs(alpha - 2.0))
-  alpha_safe = jnp.where(
-      jnp.greater_equal(alpha, 0.0), jnp.ones_like(alpha),
-      -jnp.ones_like(alpha)) * jnp.maximum(eps, jnp.abs(alpha))
-  loss_otherwise = (beta_safe / alpha_safe) * (
-      jnp.power(squared_scaled_x / beta_safe + 1.0, 0.5 * alpha) - 1.0)
-
-  loss = jnp.where(
-      alpha == -jnp.inf, loss_neginf,
-      jnp.where(
-          alpha == 0, loss_zero,
-          jnp.where(
-              alpha == 2, loss_two,
-              jnp.where(alpha == jnp.inf, loss_posinf, loss_otherwise))))
-
-  return scale * loss
+  rho = jnp.select(
+      condlist=[
+          alpha == 2.0,
+          alpha == 0.0,
+          alpha == -jnp.inf,
+          alpha == jnp.inf,
+      ],
+      choicelist=[
+          0.5 * z,
+          log1p_safe(0.5 * z),
+          -jnp.expm1(-0.5 * z),
+          expm1_safe(0.5 * z),
+      ],
+      default=general)
+  return scale * rho

@@ -285,8 +285,14 @@ def fused_render_level(params: Dict[str, Any],
     if 2 * tile_b * per_row <= vmem_budget:
       break
     tile_b //= 2
+  # Shrink further (min 8, the f32 sublane height) until the tile divides
+  # the batch, so padded eval chunks of any 8-multiple size work.
+  while tile_b > 8 and batch % tile_b:
+    tile_b //= 2
   if batch % tile_b:
-    raise ValueError(f'batch {batch} % tile_b {tile_b} != 0')
+    raise ValueError(
+        f'batch {batch} must be a multiple of 8 for the fused ray-march '
+        f'(pad ray chunks to a multiple of 8)')
   has_cond = rgb_condition is not None
   num_blocks = total_s // tile_s
   dtype = jnp.bfloat16 if use_bfloat16 else jnp.float32

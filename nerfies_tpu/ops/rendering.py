@@ -123,9 +123,11 @@ def piecewise_constant_pdf(key: Optional[jax.Array], bins: jnp.ndarray,
                            use_stratified_sampling: bool) -> jnp.ndarray:
   """Inverse-CDF sampling from a piecewise-constant ray density.
 
-  Parity: reference model_utils.py:139-187. The CDF inversion is the
-  sorted-search trick expressed with a masked max/min (O(S * S_new) VPU work,
-  no gather/sort), which XLA maps cleanly onto TPU vector units.
+  Behavior parity with reference model_utils.py:139-187 (same epsilon
+  regularization, same degenerate-bin handling), but the CDF inversion is a
+  per-ray binary search (`searchsorted` + gather, O(S log S) per sample)
+  followed by linear interpolation inside the located bin, instead of the
+  reference's O(S * S_new) masked max/min sweep.
 
   Args:
     key: PRNG key.
@@ -138,11 +140,11 @@ def piecewise_constant_pdf(key: Optional[jax.Array], bins: jnp.ndarray,
     (B, num_samples) sampled depths (gradients stopped).
   """
   eps = 1e-5
-  weights = weights + eps
-  pdf = weights / weights.sum(axis=-1, keepdims=True)
-  cdf = jnp.cumsum(pdf, axis=-1)
-  cdf = jnp.concatenate(
-      [jnp.zeros(list(cdf.shape[:-1]) + [1], dtype=cdf.dtype), cdf], axis=-1)
+  num_bins = weights.shape[-1]
+  mass = weights + eps
+  cdf = jnp.cumsum(mass, axis=-1)
+  cdf = cdf / cdf[..., -1:]
+  cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
 
   if use_stratified_sampling:
     u = random.uniform(key, list(cdf.shape[:-1]) + [num_samples],
@@ -151,22 +153,25 @@ def piecewise_constant_pdf(key: Optional[jax.Array], bins: jnp.ndarray,
     u = jnp.linspace(0.0, 1.0, num_samples, dtype=cdf.dtype)
     u = jnp.broadcast_to(u, list(cdf.shape[:-1]) + [num_samples])
 
-  mask = u[..., None, :] >= cdf[..., :, None]
+  # Locate, per ray, the bin whose CDF interval contains each u:
+  # bin_idx = (index of the last edge with cdf[edge] <= u), clamped into
+  # [0, num_bins - 1] so u = 0 and u = 1 land in the first/last bin.
+  find = jnp.vectorize(
+      lambda edges, us: jnp.searchsorted(edges, us, side='right'),
+      signature='(e),(s)->(s)')
+  bin_idx = jnp.clip(find(cdf, u) - 1, 0, num_bins - 1)
 
-  def minmax(x):
-    x0 = jnp.max(jnp.where(mask, x[..., None], x[..., :1, None]), -2)
-    x1 = jnp.min(jnp.where(~mask, x[..., None], x[..., -1:, None]), -2)
-    x0 = jnp.minimum(x0, x[..., -2:-1])
-    x1 = jnp.maximum(x1, x[..., 1:2])
-    return x0, x1
+  lo = jnp.take_along_axis(cdf, bin_idx, axis=-1)
+  hi = jnp.take_along_axis(cdf, bin_idx + 1, axis=-1)
+  edge_lo = jnp.take_along_axis(bins, bin_idx, axis=-1)
+  edge_hi = jnp.take_along_axis(bins, bin_idx + 1, axis=-1)
 
-  bins_g0, bins_g1 = minmax(bins)
-  cdf_g0, cdf_g1 = minmax(cdf)
-
-  denom = cdf_g1 - cdf_g0
-  denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)
-  t = (u - cdf_g0) / denom
-  z_samples = bins_g0 + t * (bins_g1 - bins_g0)
+  # Degenerate (zero-mass) bins interpolate with t = u - lo like the
+  # reference (denominator snapped to 1), which stays inside the bin since
+  # u - lo < eps there.
+  span = hi - lo
+  t = (u - lo) / jnp.where(span < eps, jnp.ones_like(span), span)
+  z_samples = edge_lo + t * (edge_hi - edge_lo)
   return lax.stop_gradient(z_samples)
 
 

@@ -85,6 +85,21 @@ def _avg_pool2(img: jnp.ndarray) -> jnp.ndarray:
   return out[0]
 
 
+def max_feasible_scales(height: int, width: int,
+                        filter_size: int = 11) -> int:
+  """Largest number of MS-SSIM scales the image size supports.
+
+  Each scale halves the image (ceil), and the 'valid' gaussian filtering
+  needs at least `filter_size` pixels per side at the coarsest scale.
+  """
+  scales = 0
+  side = min(height, width)
+  while side >= filter_size and scales < len(MSSSIM_WEIGHTS):
+    scales += 1
+    side = (side + 1) // 2
+  return scales
+
+
 def multiscale_ssim(img0: jnp.ndarray,
                     img1: jnp.ndarray,
                     max_val: float = 1.0,

@@ -138,3 +138,23 @@ def test_colorize_binary_logits():
   logits = np.random.RandomState(1).randn(16, 16, 4)
   colored = visualization.colorize_binary_logits(logits)
   assert colored.shape == (16, 16, 3)
+
+
+def test_msssim_feasible_scales():
+  assert ssim_lib.max_feasible_scales(180, 240) == 5
+  assert ssim_lib.max_feasible_scales(64, 64) == 3
+  assert ssim_lib.max_feasible_scales(11, 11) == 1
+  assert ssim_lib.max_feasible_scales(8, 300) == 0
+
+
+def test_msssim_small_image_truncated_scales():
+  rng = np.random.default_rng(5)
+  img0 = rng.random((48, 64, 3), dtype=np.float32)
+  img1 = np.clip(img0 + 0.05 * rng.standard_normal(img0.shape), 0, 1)
+  img1 = img1.astype(np.float32)
+  scales = ssim_lib.max_feasible_scales(48, 64)
+  weights = ssim_lib.MSSSIM_WEIGHTS[:scales]
+  weights = tuple(w / sum(weights) for w in weights)
+  val = float(ssim_lib.multiscale_ssim(jnp.asarray(img0), jnp.asarray(img1),
+                                       weights=weights))
+  assert 0.0 < val < 1.0

@@ -192,3 +192,31 @@ def test_flat_mlp_level_matches_reference(with_cond):
                              np.asarray(ref['acc']), atol=2e-5)
   np.testing.assert_allclose(np.asarray(got['med_depth']),
                              np.asarray(ref['med_depth']), atol=2e-4)
+
+
+def test_fused_partial_chunk_batch():
+  """Batches that are a multiple of 8 (but not of tile_b) must work —
+  render_image pads partial eval chunks only to a multiple of 8."""
+  num_freqs = 4
+  mlp, params, points, z_vals, directions, cond = _setup(seed=4, batch=24)
+  ref = _reference_level(
+      params, points, z_vals, directions, cond, num_freqs=num_freqs,
+      sigma_activation='softplus', use_white_background=False,
+      sample_at_infinity=True, mlp=mlp)
+  got = raymarch.fused_render_level(
+      params, points, z_vals, directions, cond,
+      num_freqs=num_freqs, trunk_depth=4, skips=(2,), rgb_branch_depth=1,
+      sigma_activation='softplus', use_white_background=False,
+      sample_at_infinity=True,
+      tile_b=64, tile_s=32, use_bfloat16=False, interpret=True)
+  np.testing.assert_allclose(np.asarray(got['rgb']),
+                             np.asarray(ref['rgb']), atol=2e-5)
+
+  with pytest.raises(ValueError, match='multiple of 8'):
+    mlp, params, points, z_vals, directions, cond = _setup(seed=4, batch=20)
+    raymarch.fused_render_level(
+        params, points, z_vals, directions, cond,
+        num_freqs=num_freqs, trunk_depth=4, skips=(2,), rgb_branch_depth=1,
+        sigma_activation='softplus', use_white_background=False,
+        sample_at_infinity=True,
+        tile_b=64, tile_s=32, use_bfloat16=False, interpret=True)
