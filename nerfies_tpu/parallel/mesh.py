@@ -14,7 +14,6 @@ import math
 from typing import Optional, Sequence
 
 import jax
-from jax.experimental import mesh_utils
 from jax.sharding import Mesh
 from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
@@ -24,10 +23,18 @@ BATCH_AXIS = 'batch'
 
 def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
                 axis_name: str = BATCH_AXIS) -> Mesh:
-  """Creates a 1-D data-parallel mesh over all (or given) devices."""
-  if devices is None:
-    devices = mesh_utils.create_device_mesh((jax.device_count(),))
+  """Creates a 1-D data-parallel mesh over all (or given) devices.
+
+  Devices are ordered process-contiguously (process 0's devices first),
+  so that a batch sharded on the mesh axis assigns each process the
+  contiguous slice of global rows that `iterator_from_pool` feeds it and
+  that `jax.make_array_from_process_local_data` expects. The only
+  collective on a 1-D DP mesh is the gradient all-reduce, whose cost is
+  order-independent, so nothing is lost vs a physical ring ordering.
+  """
   import numpy as np
+  if devices is None:
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
   return Mesh(np.asarray(devices).reshape(-1), (axis_name,))
 
 
@@ -42,8 +49,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, sharding: NamedSharding):
-  """Places a host batch onto devices with the given sharding."""
-  return jax.device_put(batch, sharding)
+  """Places a host batch onto devices with the given sharding.
+
+  Single-process: a plain device_put of the (host == global) batch.
+  Multi-process: each leaf is this host's contiguous slice of the global
+  batch (see `iterator_from_pool`'s per-host slicing); the slices are
+  assembled into one global jax.Array via
+  `jax.make_array_from_process_local_data`, which places each host's rows
+  on its local devices (parity with the reference's per-host feeding,
+  /root/reference/train.py:153, evaluation.py:81-84).
+  """
+  if jax.process_count() == 1:
+    return jax.device_put(batch, sharding)
+  import numpy as np
+  return jax.tree.map(
+      lambda x: jax.make_array_from_process_local_data(
+          sharding, np.asarray(x)),
+      batch)
 
 
 def pad_to_multiple(n: int, multiple: int) -> int:

@@ -248,7 +248,10 @@ def main(argv):
               for k, v in stats[branch].items())
           logging.info('\t%s metrics: %s', branch, metrics_str)
 
-    if step % train_config.save_every == 0 and jax.process_index() == 0:
+    if step % train_config.save_every == 0:
+      # All processes participate: orbax's save/finalize barriers are
+      # collective in multi-host runs (it gates the actual writes on the
+      # primary host internally). Host-0-only calls would deadlock a pod.
       checkpoints.save_checkpoint(checkpoint_dir, state)
 
     if step % train_config.log_every == 0 and jax.process_index() == 0:
@@ -262,8 +265,7 @@ def main(argv):
 
     time_tracker.tic('data', 'total')
 
-  if (step >= init_step and step % train_config.save_every != 0
-      and jax.process_index() == 0):
+  if step >= init_step and step % train_config.save_every != 0:
     checkpoints.save_checkpoint(checkpoint_dir, state)
 
 
