@@ -25,8 +25,11 @@ import abc
 import functools
 import itertools
 import queue as queue_lib
+import shutil
+import tempfile
 import threading
 from concurrent import futures
+from pathlib import Path
 from typing import Any, Dict, Iterable, List, Optional, Sequence
 
 import jax
@@ -158,7 +161,152 @@ class RayPool:
     return batch
 
 
-def iterator_from_pool(pool: RayPool,
+class StreamingRayPool:
+  """A disk-backed ray pool: per-ray arrays are memory-mapped files.
+
+  TPU-native replacement for the reference's lazy tf.data path
+  (/root/reference/nerfies/datasets/core.py:449-493): instead of decoding
+  images inside the input graph, rays are generated ONCE (streamed one
+  image at a time, bounded host RAM) into flat binary shards which the OS
+  pages in on demand at batch-assembly time. Full-HD multi-host datasets
+  therefore never need the whole ray pool resident.
+
+  Shares RayPool's deduplicated layout: memmapped per-ray
+  directions/rgb[/pixels]; tiny in-RAM per-image tables (origins,
+  metadata, row offsets). `image_idx` is derived from the offsets by
+  binary search rather than stored.
+  """
+
+  def __init__(self, cache_dir, directions, rgb, offsets, origins, metadata,
+               pixels=None, shuffle_window_images: int = 16,
+               _owns_cache: bool = False):
+    self.cache_dir = Path(cache_dir)
+    self.directions = directions
+    self.rgb = rgb
+    self.offsets = offsets  # (M + 1,) int64 cumulative ray counts
+    self.origins = origins
+    self.metadata = metadata
+    self.pixels = pixels
+    self.shuffle_window_images = shuffle_window_images
+    self._owns_cache = _owns_cache
+
+  @classmethod
+  def build(cls, datasource, item_ids, scale_factor=1.0,
+            include_pixels: bool = False, cache_dir=None,
+            shuffle_window_images: int = 16) -> 'StreamingRayPool':
+    """Streams items one at a time into memmap shards."""
+    owns_cache = cache_dir is None
+    cache_dir = Path(cache_dir) if cache_dir else Path(
+        tempfile.mkdtemp(prefix='nerfies_raypool_'))
+    cache_dir.mkdir(parents=True, exist_ok=True)
+
+    item_ids = list(item_ids)
+    offsets = np.zeros(len(item_ids) + 1, np.int64)
+    origins = np.zeros((len(item_ids), 3), np.float32)
+    metadata = None
+    with open(cache_dir / 'directions.f32', 'wb') as dir_f, \
+         open(cache_dir / 'rgb.u8', 'wb') as rgb_f, \
+         open(cache_dir / 'pixels.f32', 'wb') as pix_f:
+      for i, item_id in enumerate(item_ids):
+        item = datasource.get_item(item_id, scale_factor=scale_factor)
+        camera = cam.Camera(**item['camera_params'])
+        rays = camera_to_rays(camera)
+        directions = rays['directions'].reshape(-1, 3).astype(np.float32)
+        rgb = item['rgb']
+        if rgb.dtype != np.uint8:
+          rgb = image_utils.image_to_uint8(rgb[..., :3])
+        dir_f.write(directions.tobytes())
+        rgb_f.write(np.ascontiguousarray(rgb.reshape(-1, 3)[:, :3]).tobytes())
+        if include_pixels:
+          pix_f.write(
+              rays['pixels'].reshape(-1, 2).astype(np.float32).tobytes())
+        offsets[i + 1] = offsets[i] + directions.shape[0]
+        origins[i] = camera.position
+        if metadata is None:
+          keys = sorted(item.get('metadata', {}).keys())
+          metadata = {
+              k: np.zeros((len(item_ids), 1),
+                          np.float32 if k == 'time' else np.uint32)
+              for k in keys
+          }
+        for k in metadata:
+          metadata[k][i, 0] = item['metadata'][k]
+
+    directions = np.memmap(cache_dir / 'directions.f32', np.float32,
+                           mode='r').reshape(-1, 3)
+    rgb = np.memmap(cache_dir / 'rgb.u8', np.uint8, mode='r').reshape(-1, 3)
+    pixels = None
+    if include_pixels:
+      pixels = np.memmap(cache_dir / 'pixels.f32', np.float32,
+                         mode='r').reshape(-1, 2)
+    return cls(cache_dir, directions, rgb, offsets, origins, metadata,
+               pixels=pixels, shuffle_window_images=shuffle_window_images,
+               _owns_cache=owns_cache)
+
+  @property
+  def num_rays(self) -> int:
+    return int(self.offsets[-1])
+
+  @property
+  def num_images(self) -> int:
+    return len(self.offsets) - 1
+
+  def assemble(self, indices: np.ndarray) -> Dict[str, Any]:
+    """Gathers a batch dict for the given ray indices (same as RayPool)."""
+    image_idx = np.searchsorted(self.offsets, indices, side='right') - 1
+    batch = {
+        'origins': self.origins[image_idx],
+        'directions': np.asarray(self.directions[indices]),
+        'rgb': np.asarray(self.rgb[indices]).astype(np.float32) / 255.0,
+        'metadata': {k: v[image_idx] for k, v in self.metadata.items()},
+    }
+    if self.pixels is not None:
+      batch['pixels'] = np.asarray(self.pixels[indices])
+    return batch
+
+  def close(self, delete: Optional[bool] = None):
+    """Drops the memmaps and (if this pool created it) the cache dir."""
+    self.directions = self.rgb = self.pixels = None
+    if delete if delete is not None else self._owns_cache:
+      shutil.rmtree(self.cache_dir, ignore_errors=True)
+
+
+def permutation_index_batches(rng, num_rays: int, batch_size: int,
+                              shuffle: bool):
+  """One epoch of global batch indices via a full-pool permutation."""
+  perm = rng.permutation(num_rays) if shuffle else np.arange(num_rays)
+  for start in range(0, num_rays - batch_size + 1, batch_size):
+    yield perm[start:start + batch_size]
+
+
+def windowed_index_batches(rng, offsets: np.ndarray, batch_size: int,
+                           window_images: int):
+  """One epoch of global batch indices with a windowed shuffle.
+
+  The analog of the reference lazy path's shuffle buffers
+  (core.py:480-490): image order is permuted, then rays are permuted
+  within a sliding window of `window_images` images, so peak index memory
+  is O(window rays) instead of O(pool rays). Remainder rays carry over
+  between windows; the final partial batch of the epoch is dropped
+  (epoch-boundary parity with the preloaded iterator).
+  """
+  num_images = len(offsets) - 1
+  image_order = rng.permutation(num_images)
+  leftover = np.empty((0,), np.int64)
+  for start in range(0, num_images, window_images):
+    window = image_order[start:start + window_images]
+    idx = np.concatenate(
+        [leftover] +
+        [np.arange(offsets[i], offsets[i + 1], dtype=np.int64)
+         for i in window])
+    idx = rng.permutation(idx)
+    usable = (idx.shape[0] // batch_size) * batch_size
+    for s in range(0, usable, batch_size):
+      yield idx[s:s + batch_size]
+    leftover = idx[usable:]
+
+
+def iterator_from_pool(pool,
                        batch_size: int,
                        seed: int = 0,
                        repeat: bool = True,
@@ -166,10 +314,12 @@ def iterator_from_pool(pool: RayPool,
                        prefetch_size: int = 3,
                        process_index: Optional[int] = None,
                        process_count: Optional[int] = None):
-  """Batch iterator over a RayPool with per-epoch permutation shuffling.
+  """Batch iterator over a (preloaded or streaming) ray pool.
 
-  `batch_size` is the GLOBAL batch; each host yields its
-  `batch_size // process_count` slice (identical permutation everywhere).
+  `batch_size` is the GLOBAL batch; each host draws the identical global
+  index sequence (seeded) and yields its `batch_size // process_count`
+  slice. Streaming pools shuffle with image-windowed permutations instead
+  of one O(num_rays) permutation.
   """
   if process_index is None:
     process_index = jax.process_index()
@@ -180,19 +330,19 @@ def iterator_from_pool(pool: RayPool,
                      f'count {process_count}')
   per_host = batch_size // process_count
   host_slice = slice(process_index * per_host, (process_index + 1) * per_host)
+  windowed = shuffle and isinstance(pool, StreamingRayPool)
 
   def generate():
     rng = np.random.default_rng(seed)
-    epoch = 0
     while True:
-      if shuffle:
-        perm = rng.permutation(pool.num_rays)
+      if windowed:
+        epoch = windowed_index_batches(rng, pool.offsets, batch_size,
+                                       pool.shuffle_window_images)
       else:
-        perm = np.arange(pool.num_rays)
-      for start in range(0, pool.num_rays - batch_size + 1, batch_size):
-        indices = perm[start:start + batch_size][host_slice]
-        yield pool.assemble(indices)
-      epoch += 1
+        epoch = permutation_index_batches(rng, pool.num_rays, batch_size,
+                                          shuffle)
+      for indices in epoch:
+        yield pool.assemble(indices[host_slice])
       if not repeat:
         return
 
@@ -274,6 +424,8 @@ class DataSource(abc.ABC):
                train_stride=1,
                val_stride=1,
                preload=True,
+               ray_cache_dir=None,
+               shuffle_window_images=16,
                **_):
     self._train_ids = train_ids
     self._val_ids = val_ids
@@ -288,6 +440,8 @@ class DataSource(abc.ABC):
     self.random_seed = random_seed
     self.rng = np.random.RandomState(random_seed)
     self.preload = preload
+    self.ray_cache_dir = ray_cache_dir
+    self.shuffle_window_images = shuffle_window_images
 
   @property
   def all_ids(self):
@@ -415,9 +569,25 @@ class DataSource(abc.ABC):
     load_fn = functools.partial(self.get_item, scale_factor=scale_factor)
     return parallel_map(load_fn, item_ids)
 
-  def create_ray_pool(self, item_ids, include_pixels=False) -> RayPool:
-    items = self.parallel_get_items(item_ids)
-    return RayPool.from_items(items, include_pixels=include_pixels)
+  def create_ray_pool(self, item_ids, include_pixels=False,
+                      preload: Optional[bool] = None):
+    """Builds the training ray pool.
+
+    preload=True (default): all rays in host RAM (RayPool). False: rays
+    stream to memory-mapped shards (StreamingRayPool) so the resident set
+    stays O(one image) during the build and O(page cache) during training
+    — the reference's lazy tf.data path (core.py:449-493) re-imagined for
+    the numpy/jit input model.
+    """
+    if preload is None:
+      preload = self.preload
+    if preload:
+      items = self.parallel_get_items(item_ids)
+      return RayPool.from_items(items, include_pixels=include_pixels)
+    return StreamingRayPool.build(
+        self, item_ids, include_pixels=include_pixels,
+        cache_dir=self.ray_cache_dir,
+        shuffle_window_images=self.shuffle_window_images)
 
   def create_iterator(self,
                       item_ids,
