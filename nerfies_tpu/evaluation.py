@@ -170,7 +170,13 @@ def render_image(
   rays_dict = jax.tree.map(
       lambda x: x.reshape((num_rays, x.shape[-1])), rays_dict)
 
-  ret_maps = []
+  # The chunk loop never blocks: every dispatch is async, per-chunk outputs
+  # (a few floats per ray) stay on device, and one device_get at the end
+  # fetches everything. Chunk k+1's H2D transfer and compute therefore
+  # overlap chunk k's execution instead of serializing on a host round-trip
+  # per chunk (the reference's pmap loop synced every 8192 rays).
+  device_rets = []
+  paddings = []
   num_batches = int(math.ceil(num_rays / chunk))
   start_time = time.time()
   for batch_idx in range(num_batches):
@@ -185,7 +191,10 @@ def render_image(
           chunk_rays)
     model_out = model_fn(state.params, chunk_rays, state.warp_extra, rng)
     ret_key = default_ret_key or ('fine' if 'fine' in model_out else 'coarse')
-    ret_map = jax.device_get(model_out[ret_key])
+    device_rets.append(model_out[ret_key])
+    paddings.append(padding)
+  ret_maps = []
+  for ret_map, padding in zip(jax.device_get(device_rets), paddings):
     if padding:
       ret_map = jax.tree.map(lambda x: x[:x.shape[0] - padding], ret_map)
     ret_maps.append(ret_map)
