@@ -28,8 +28,7 @@ from nerfies_tpu.parallel import mesh as mesh_lib
 BASELINE_RAYS_PER_SEC_PER_GPU = 6144 * 250_000 / (14 * 3600) / 8  # ~3810
 
 
-def build_workload(batch_size: int, use_fused: bool = False,
-                   use_bfloat16: bool = True):
+def build_workload(batch_size: int, use_bfloat16: bool = True):
   model_config = configs.ModelConfig(
       num_coarse_samples=128,
       num_fine_samples=128,
@@ -49,7 +48,6 @@ def build_workload(batch_size: int, use_fused: bool = False,
       sigma_activation=nn.softplus,
       use_stratified_sampling=True,
       use_sample_at_infinity=True,
-      use_fused_raymarch=use_fused,
       # The recommended TPU execution mode: bf16 MXU matmuls (f32 params,
       # f32 compositing) + activation remat. Same workload as the
       # reference's f32 training; quality parity is covered by the bf16

@@ -91,8 +91,6 @@ class ModelConfig:
   # 'dots' saves matmul outputs and recomputes only elementwise ops
   # (measured ~4% faster on the quarter-HD step, still fits 16 GB).
   remat_policy: str = 'dots'
-  # Use the fused Pallas ray-march kernel for the MLP+compositing hot path.
-  use_fused_raymarch: bool = False
 
 
 @gin.configurable

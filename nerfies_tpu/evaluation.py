@@ -11,110 +11,22 @@ import math
 import time
 from typing import Any, Callable, Dict, Optional
 
-import flax.linen as nn
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from nerfies_tpu.ops import rendering
-from nerfies_tpu.ops.pallas import raymarch
 from nerfies_tpu.parallel import mesh as mesh_lib
 
 
-def _sigma_activation_name(fn) -> str:
-  if fn is nn.softplus:
-    return 'softplus'
-  if fn is nn.relu:
-    return 'relu'
-  raise ValueError(
-      f'Fused ray-march supports relu/softplus sigma, got {fn}')
-
-
-def fused_render_rays(model, params, rays_dict, warp_extra,
-                      use_warp: bool = True, tile_b: int = 64,
-                      tile_s=None, interpret: bool = False):
-  """Full coarse+fine render through the fused Pallas ray-march kernel.
-
-  Deterministic (eval) sampling. The warp field and condition embeddings
-  run as (cheap) XLA ops; the NeRF MLP + compositing hot path runs fused.
-  Requires batch % tile_b == 0 and relu/softplus sigma activations.
-  """
-  origins = rays_dict['origins']
-  directions = rays_dict['directions']
-  metadata = rays_dict['metadata']
-  viewdirs = rays_dict.get('viewdirs', directions)
-  use_warp = use_warp and model.use_warp
-
-  trunk_cond, alpha_cond, rgb_cond = model.apply(
-      {'params': params}, viewdirs, metadata, False,
-      method=model.get_condition_inputs)
-  if trunk_cond is not None or alpha_cond is not None:
-    raise ValueError('Fused ray-march supports rgb conditions only.')
-
-  def warp_points(points):
-    if not use_warp:
-      return points
-    warp_metadata = (metadata['time']
-                     if model.warp_metadata_encoder_type == 'time'
-                     else metadata['warp'])
-    out = model.apply({'params': params}, points, warp_metadata,
-                      warp_extra, False, False, method=model.apply_warp)
-    return out['warped_points']
-
-  kernel_kwargs = dict(
-      num_freqs=model.num_nerf_point_freqs,
-      trunk_depth=model.nerf_trunk_depth,
-      skips=tuple(model.nerf_skips),
-      rgb_branch_depth=model.nerf_rgb_branch_depth,
-      sigma_activation=_sigma_activation_name(model.sigma_activation),
-      use_white_background=model.use_white_background,
-      sample_at_infinity=model.use_sample_at_infinity,
-      tile_b=tile_b,
-      tile_s=tile_s,
-      use_bfloat16=model.use_bfloat16,
-      interpret=interpret,
-  )
-
-  z_vals, points = rendering.sample_along_rays(
-      None, origins, directions, model.num_coarse_samples, model.near,
-      model.far, False, model.use_linear_disparity)
-  points = warp_points(points)
-  coarse = raymarch.fused_render_level(
-      params['nerf_mlps_coarse'], points, z_vals, directions, rgb_cond,
-      return_weights=model.num_fine_samples > 0, **kernel_kwargs)
-  out = {'coarse': coarse}
-
-  if model.num_fine_samples > 0:
-    z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_vals, points = rendering.sample_pdf(
-        None, z_vals_mid, coarse['weights'][..., 1:-1], origins,
-        directions, z_vals, model.num_fine_samples, False)
-    points = warp_points(points)
-    out['fine'] = raymarch.fused_render_level(
-        params['nerf_mlps_fine'], points, z_vals, directions, rgb_cond,
-        **kernel_kwargs)
-    del out['coarse']['weights']
-  return out
-
-
-def make_render_fn(model, mesh, use_warp: bool = True,
-                   use_fused: Optional[bool] = None) -> Callable:
+def make_render_fn(model, mesh, use_warp: bool = True) -> Callable:
   """Builds the jitted per-chunk render function.
 
   Returns a callable (params, rays_dict, warp_extra) -> model output dict,
-  with rays sharded over the mesh and everything else replicated. With
-  `use_fused` (defaults to the model's `use_fused_raymarch`) the NeRF
-  MLP + compositing path runs as the fused Pallas kernel.
+  with rays sharded over the mesh and everything else replicated.
   """
-  if use_fused is None:
-    use_fused = getattr(model, 'use_fused_raymarch', False)
   data_sharding = mesh_lib.batch_sharding(mesh)
   repl = mesh_lib.replicated_sharding(mesh)
 
   def model_fn(params, rays_dict, warp_extra, rng):
-    if use_fused:
-      return fused_render_rays(model, params, rays_dict, warp_extra,
-                               use_warp=use_warp)
     # Stratified-sampling models need named rngs even at render time
     # (parity with the reference's key_0/key_1 plumbing, eval.py:330-348).
     key_coarse, key_fine = jax.random.split(rng)
@@ -162,9 +74,7 @@ def render_image(
   if rng is None:
     rng = jax.random.PRNGKey(0)
   if device_multiple is None:
-    # Multiple of 8 keeps partial chunks compatible with the fused
-    # ray-march's minimum (sublane-height) ray tile.
-    device_multiple = math.lcm(jax.device_count(), 8)
+    device_multiple = jax.device_count()
   h, w = rays_dict['origins'].shape[:2]
   num_rays = h * w
   rays_dict = jax.tree.map(

@@ -88,7 +88,6 @@ class NerfModel(nn.Module):
   use_remat: bool = True
   remat_policy: str = 'dots'
   use_bfloat16: bool = False
-  use_fused_raymarch: bool = False
   warp_kwargs: Mapping[str, Any] = FrozenDict()
 
   metadata_encoded: bool = False
@@ -400,7 +399,6 @@ def construct_nerf(key,
       use_remat=config.use_remat,
       remat_policy=config.remat_policy,
       use_bfloat16=config.use_bfloat16,
-      use_fused_raymarch=config.use_fused_raymarch,
   )
 
   init_rays_dict = {

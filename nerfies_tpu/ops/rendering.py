@@ -1,9 +1,8 @@
 """Volumetric rendering math: ray sampling, compositing, depth maps.
 
 Behavior-parity with /root/reference/nerfies/model_utils.py:36-304, written
-as standalone batched functions (the hot compositing path additionally has a
-fused Pallas implementation in `nerfies_tpu.ops.pallas.raymarch`). All shapes
-are static; random sampling takes explicit PRNG keys.
+as standalone batched functions. All shapes are static; random sampling
+takes explicit PRNG keys.
 """
 
 from typing import Optional
