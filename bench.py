@@ -1,19 +1,28 @@
-"""Training-throughput benchmark on the quarter-HD workload.
+"""Training + render throughput benchmark on the quarter-HD workload.
 
-Measures sustained train-step throughput (rays/sec/chip) for the
-gpu_quarterhd / gpu_vrig_paper workload: batch 6144 rays, 128 coarse + 128
-fine samples/ray, SE(3) warp with elastic + background losses -- the
-configuration behind the reference's headline "14 h on 8 GPUs" number
-(/root/reference/README.md:77). Baseline: 6144 * 250k steps / 14 h over 8
-GPUs ~= 3814 rays/sec/GPU (BASELINE.md).
+Measures, on the available TPU chips:
+  1. Sustained train-step throughput (rays/sec/chip), compute-only, for the
+     gpu_quarterhd / gpu_vrig_paper workload: batch 6144 rays, 128 coarse +
+     128 fine samples/ray, SE(3) warp with elastic + background losses --
+     the configuration behind the reference's headline "14 h on 8 GPUs"
+     (/root/reference/README.md:77). Baseline: 6144 * 250k steps / 14 h
+     over 8 GPUs ~= 3814 rays/sec/GPU (BASELINE.md).
+  2. The same steps fed from a real on-disk dataset through the RayPool +
+     prefetch iterator (slicing, collation, H2D included) -- the honest
+     end-to-end number.
+  3. An MFU estimate: XLA's model-FLOPs for the compiled step times
+     steps/sec over the chip's peak bf16 FLOP rate.
+  4. Full-image render throughput (rays/sec/chip) via render_image and the
+     projected single-chip 1080p frame time.
 
-Prints one JSON line:
-  {"metric": "train_rays_per_sec_per_chip", "value": ..., "unit": "rays/s",
-   "vs_baseline": ...}
+Prints ONE JSON line; `metric`/`value`/`unit`/`vs_baseline` describe the
+primary train-throughput number, the other measurements ride as extra keys.
 """
 
 import argparse
 import json
+import shutil
+import tempfile
 import time
 
 import flax.linen as nn
@@ -21,15 +30,28 @@ import jax
 import numpy as np
 
 from nerfies_tpu import configs
+from nerfies_tpu import evaluation
 from nerfies_tpu import training
 from nerfies_tpu.models import nerf
 from nerfies_tpu.parallel import mesh as mesh_lib
 
 BASELINE_RAYS_PER_SEC_PER_GPU = 6144 * 250_000 / (14 * 3600) / 8  # ~3810
 
+# Peak dense bf16 FLOP/s per chip by device kind (public spec sheets).
+PEAK_BF16_FLOPS = {
+    'TPU v3': 123e12,
+    'TPU v4': 275e12,
+    'TPU v5 lite': 197e12,
+    'TPU v5p': 459e12,
+    'TPU v5': 459e12,
+    'TPU v6 lite': 918e12,
+    'TPU v6e': 918e12,
+}
 
-def build_workload(batch_size: int, use_bfloat16: bool = True):
-  model_config = configs.ModelConfig(
+
+def model_config(use_bfloat16: bool = True,
+                 use_stratified_sampling: bool = True):
+  return configs.ModelConfig(
       num_coarse_samples=128,
       num_fine_samples=128,
       nerf_trunk_depth=8,
@@ -46,7 +68,7 @@ def build_workload(batch_size: int, use_bfloat16: bool = True):
       use_camera_metadata=True,
       camera_metadata_dims=2,
       sigma_activation=nn.softplus,
-      use_stratified_sampling=True,
+      use_stratified_sampling=use_stratified_sampling,
       use_sample_at_infinity=True,
       # The recommended TPU execution mode: bf16 MXU matmuls (f32 params,
       # f32 compositing) + activation remat. Same workload as the
@@ -54,6 +76,10 @@ def build_workload(batch_size: int, use_bfloat16: bool = True):
       # fit test in tests/test_bfloat16.py.
       use_bfloat16=use_bfloat16,
   )
+
+
+def build_workload(batch_size: int, use_bfloat16: bool = True):
+  config = model_config(use_bfloat16)
   train_config = configs.TrainConfig(
       batch_size=batch_size,
       use_elastic_loss=True,
@@ -62,7 +88,7 @@ def build_workload(batch_size: int, use_bfloat16: bool = True):
       use_background_loss=True,
   )
   model, params = nerf.construct_nerf(
-      jax.random.PRNGKey(0), model_config, batch_size=batch_size,
+      jax.random.PRNGKey(0), config, batch_size=batch_size,
       appearance_ids=tuple(range(16)), camera_ids=(0, 1),
       warp_ids=tuple(range(16)), near=0.1, far=2.0,
       use_warp_jacobian=True, use_weights=True)
@@ -88,16 +114,164 @@ def fake_batch(batch_size: int, bg_points: int = 16384, seed: int = 0):
   }
 
 
+def sync(tree):
+  # NOTE: on the axon TPU backend `jax.block_until_ready` returns before
+  # execution finishes; a device_get is the only reliable fence.
+  for leaf in jax.tree.leaves(tree):
+    np.asarray(jax.device_get(leaf))
+
+
+def bench_train_compute(args, step_fn, state, scalar_params):
+  """Compute-only: pre-built host batches, no input pipeline."""
+  rng = jax.random.PRNGKey(0)
+  batches = [fake_batch(args.batch_size, seed=i)
+             for i in range(args.warmup_steps + args.bench_steps)]
+  stats = None
+  for i in range(args.warmup_steps):
+    state, stats, _ = step_fn(jax.random.fold_in(rng, i), state, batches[i],
+                              scalar_params)
+  sync(stats)
+  start = time.perf_counter()
+  for i in range(args.warmup_steps, args.warmup_steps + args.bench_steps):
+    state, stats, _ = step_fn(jax.random.fold_in(rng, i), state, batches[i],
+                              scalar_params)
+  sync(stats)
+  elapsed = time.perf_counter() - start
+  return args.bench_steps / elapsed, state
+
+
+def bench_train_e2e(args, step_fn, state, scalar_params):
+  """Steps fed from a real on-disk scene through the RayPool iterator."""
+  from nerfies_tpu import datasets
+  from nerfies_tpu.datasets import core as datasets_core
+  from nerfies_tpu.datasets import synthetic
+
+  tmp = tempfile.mkdtemp(prefix='bench_scene_')
+  try:
+    synthetic.write_synthetic_dataset(
+        tmp, num_train=8, num_val=1, image_size=(256, 192),
+        motion_amplitude=0.05, num_points=16384)
+    datasource = datasets.from_config(
+        {'type': 'nerfies', 'data_dir': tmp},
+        image_scale=1, use_appearance_id=True, use_camera_id=True,
+        use_warp_id=True, random_seed=0)
+    train_iter = datasource.create_iterator(
+        datasource.train_ids, flatten=True, shuffle=True,
+        batch_size=args.batch_size, prefetch_size=3)
+    points = datasource.load_points(shuffle=True)
+    points_iter = datasets_core.iterator_from_arrays(
+        points, batch_size=min(len(points), 16384), shuffle=True, seed=0,
+        prefetch_size=3)
+    rng = jax.random.PRNGKey(1)
+
+    def run(n, state):
+      stats = None
+      for i in range(n):
+        batch = next(train_iter)
+        batch['background_points'] = next(points_iter)
+        state, stats, _ = step_fn(jax.random.fold_in(rng, i), state, batch,
+                                  scalar_params)
+      sync(stats)
+      return state
+
+    state = run(args.warmup_steps, state)
+    start = time.perf_counter()
+    state = run(args.bench_steps, state)
+    elapsed = time.perf_counter() - start
+    return args.bench_steps / elapsed
+  finally:
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def step_flops(batch_size):
+  """XLA's model-FLOPs for one train step.
+
+  The TPU (axon) backend returns no pre-compile cost analysis and a second
+  full compilation just for counting would double the bench's setup time,
+  so the step is traced and lowered on the CPU backend in a subprocess
+  (HLO model-FLOPs are backend-independent).
+  """
+  import os
+  import subprocess
+  import sys
+  env = dict(os.environ, JAX_PLATFORMS='cpu', PALLAS_AXON_POOL_IPS='')
+  try:
+    out = subprocess.run(
+        [sys.executable, __file__, '--emit_flops',
+         '--batch_size', str(batch_size)],
+        env=env, capture_output=True, text=True, timeout=300)
+    return float(json.loads(out.stdout.strip().splitlines()[-1])['flops'])
+  except Exception:
+    return None
+
+
+def emit_flops(args):
+  """Subprocess entry: lower the train step on CPU, print its FLOPs."""
+  jax.config.update('jax_platforms', 'cpu')
+  model, params, train_config = build_workload(args.batch_size)
+  mesh = mesh_lib.create_mesh()
+  step_fn = training.compile_train_step(model, train_config, mesh)
+  state = training.create_train_state(params, warp_alpha=6.0)
+  scalar_params = training.ScalarParams(
+      learning_rate=1e-3, elastic_loss_weight=1e-3,
+      background_loss_weight=1.0)
+  lowered = step_fn.jitted.lower(
+      jax.random.PRNGKey(0), state, fake_batch(args.batch_size),
+      scalar_params)
+  analysis = lowered.cost_analysis() or {}
+  print(json.dumps({'flops': float(analysis.get('flops', 0.0))}))
+
+
+def bench_render(args, mesh):
+  """Full-image render throughput at the eval configuration."""
+  config = model_config(use_stratified_sampling=False)
+  model, params = nerf.construct_nerf(
+      jax.random.PRNGKey(0), config, batch_size=8192,
+      appearance_ids=tuple(range(16)), camera_ids=(0, 1),
+      warp_ids=tuple(range(16)), near=0.1, far=2.0)
+  state = training.create_train_state(params, warp_alpha=6.0)
+  h = w = args.render_size
+  rng = np.random.RandomState(0)
+  d = rng.randn(h, w, 3).astype(np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  rays = {
+      'origins': np.zeros((h, w, 3), np.float32),
+      'directions': d,
+      'metadata': {
+          'warp': np.zeros((h, w, 1), np.uint32),
+          'camera': np.zeros((h, w, 1), np.uint32),
+          'appearance': np.zeros((h, w, 1), np.uint32),
+          'time': np.zeros((h, w, 1), np.float32),
+      },
+  }
+  render_fn = evaluation.make_render_fn(model, mesh)
+  evaluation.render_image(state, rays, render_fn, chunk=args.chunk)  # warm
+  out = evaluation.render_image(state, rays, render_fn, chunk=args.chunk)
+  return out['rays_per_sec']
+
+
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--batch_size', type=int, default=6144)
   parser.add_argument('--warmup_steps', type=int, default=3)
-  parser.add_argument('--bench_steps', type=int, default=10)
+  parser.add_argument('--bench_steps', type=int, default=20)
+  parser.add_argument('--render_size', type=int, default=384)
+  parser.add_argument('--chunk', type=int, default=8192)
+  parser.add_argument('--skip_data', action='store_true')
+  parser.add_argument('--skip_render', action='store_true')
+  parser.add_argument('--emit_flops', action='store_true',
+                      help='internal: print step FLOPs (CPU lowering) '
+                           'and exit')
   args = parser.parse_args()
+
+  if args.emit_flops:
+    emit_flops(args)
+    return
 
   model, params, train_config = build_workload(args.batch_size)
   mesh = mesh_lib.create_mesh()
   n_chips = jax.device_count()
+  device_kind = jax.devices()[0].device_kind
 
   step_fn = training.compile_train_step(model, train_config, mesh)
   state = jax.device_put(
@@ -106,39 +280,47 @@ def main():
   scalar_params = training.ScalarParams(
       learning_rate=1e-3, elastic_loss_weight=1e-3,
       background_loss_weight=1.0)
-  rng = jax.random.PRNGKey(0)
 
-  batches = [fake_batch(args.batch_size, seed=i)
-             for i in range(args.warmup_steps + args.bench_steps)]
+  flops = step_flops(args.batch_size)
 
-  def sync(tree):
-    # NOTE: on the axon TPU backend `jax.block_until_ready` returns before
-    # execution finishes; a device_get is the only reliable fence.
-    for leaf in jax.tree.leaves(tree):
-      np.asarray(jax.device_get(leaf))
+  steps_per_sec, state = bench_train_compute(args, step_fn, state,
+                                             scalar_params)
+  rays_per_sec_per_chip = steps_per_sec * args.batch_size / n_chips
 
-  for i in range(args.warmup_steps):
-    state, stats, _ = step_fn(jax.random.fold_in(rng, i), state, batches[i],
-                              scalar_params)
-  sync(stats)
-
-  start = time.perf_counter()
-  for i in range(args.warmup_steps, args.warmup_steps + args.bench_steps):
-    state, stats, _ = step_fn(jax.random.fold_in(rng, i), state, batches[i],
-                              scalar_params)
-  sync(stats)
-  elapsed = time.perf_counter() - start
-
-  steps_per_sec = args.bench_steps / elapsed
-  rays_per_sec = steps_per_sec * args.batch_size
-  rays_per_sec_per_chip = rays_per_sec / n_chips
-  print(json.dumps({
+  result = {
       'metric': 'train_rays_per_sec_per_chip',
       'value': round(rays_per_sec_per_chip, 1),
       'unit': 'rays/s',
       'vs_baseline': round(
           rays_per_sec_per_chip / BASELINE_RAYS_PER_SEC_PER_GPU, 3),
-  }))
+      'device_kind': device_kind,
+      'num_chips': n_chips,
+  }
+
+  if flops:
+    result['train_step_model_tflops'] = round(flops / 1e12, 3)
+    result['model_tflops_per_sec_per_chip'] = round(
+        flops * steps_per_sec / n_chips / 1e12, 2)
+    peak = next((v for k, v in sorted(PEAK_BF16_FLOPS.items(),
+                                      key=lambda kv: -len(kv[0]))
+                 if device_kind.startswith(k)), None)
+    if peak:
+      result['mfu_pct'] = round(
+          100.0 * flops * steps_per_sec / n_chips / peak, 2)
+
+  if not args.skip_data:
+    e2e_steps_per_sec = bench_train_e2e(args, step_fn, state, scalar_params)
+    result['train_e2e_rays_per_sec_per_chip'] = round(
+        e2e_steps_per_sec * args.batch_size / n_chips, 1)
+
+  if not args.skip_render:
+    render_rays_per_sec = bench_render(args, mesh)
+    result['render_rays_per_sec_per_chip'] = round(
+        render_rays_per_sec / n_chips, 1)
+    result['projected_1080p_frame_seconds_per_chip'] = round(
+        1920 * 1080 / (render_rays_per_sec / n_chips), 2)
+
+  print(json.dumps(result))
 
 
 if __name__ == '__main__':

@@ -401,21 +401,35 @@ def construct_nerf(key,
       use_bfloat16=config.use_bfloat16,
   )
 
+  # Parameter shapes (and init values) are independent of the ray batch, so
+  # init runs at a small batch on the host CPU backend: compiling the full
+  # forward on a remote TPU just to draw parameters takes minutes, while
+  # the CPU init is seconds. Params return as host arrays; callers place
+  # them on the mesh (train.py device_puts the TrainState).
+  init_batch = min(batch_size, 64)
   init_rays_dict = {
-      'origins': jnp.ones((batch_size, 3), jnp.float32),
-      'directions': jnp.ones((batch_size, 3), jnp.float32),
+      'origins': jnp.ones((init_batch, 3), jnp.float32),
+      'directions': jnp.ones((init_batch, 3), jnp.float32),
       'metadata': {
-          'warp': jnp.ones((batch_size, 1), jnp.uint32),
-          'camera': jnp.ones((batch_size, 1), jnp.uint32),
-          'appearance': jnp.ones((batch_size, 1), jnp.uint32),
-          'time': jnp.ones((batch_size, 1), jnp.float32),
+          'warp': jnp.ones((init_batch, 1), jnp.uint32),
+          'camera': jnp.ones((init_batch, 1), jnp.uint32),
+          'appearance': jnp.ones((init_batch, 1), jnp.uint32),
+          'time': jnp.ones((init_batch, 1), jnp.float32),
       }
   }
   warp_extra = {'alpha': 0.0, 'time_alpha': 0.0}
 
   key, key1, key2 = random.split(key, 3)
-  params = model.init(
-      {'params': key, 'coarse': key1, 'fine': key2},
-      init_rays_dict,
-      warp_extra=warp_extra)['params']
-  return model, params
+  try:
+    # local_devices, not devices: in a multi-process run the global list
+    # starts with process 0's devices, and eagerly initializing on a
+    # non-addressable device crashes.
+    init_device = jax.local_devices(backend='cpu')[0]
+  except RuntimeError:
+    init_device = None
+  with jax.default_device(init_device):
+    params = model.init(
+        {'params': key, 'coarse': key1, 'fine': key2},
+        init_rays_dict,
+        warp_extra=warp_extra)['params']
+  return model, jax.device_get(params)

@@ -295,4 +295,5 @@ def compile_train_step(model, train_config: 'configs.TrainConfig',
     batch = mesh_lib.shard_batch(batch, data_sharding)
     return jitted(rng, state, batch, scalar_params)
 
+  run.jitted = jitted  # exposed for cost analysis (bench.py MFU estimate)
   return run
