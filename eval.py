@@ -263,6 +263,9 @@ def main(argv):
       use_camera_id=model_config.use_camera_metadata,
       use_warp_id=model_config.use_warp,
       use_time=model_config.warp_metadata_encoder_type == 'time',
+      # Frames with a depth/{scale}x map feed the depth-MAE metric; frames
+      # without one simply skip it (load_depth returns None).
+      use_depth=True,
       random_seed=exp_config.random_seed,
       **dict(exp_config.datasource_kwargs))
 

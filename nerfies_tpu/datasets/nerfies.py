@@ -97,6 +97,21 @@ class NerfiesDataSource(core.DataSource):
     path = self.rgb_dir / f'{item_id}.png'
     return image_utils.image_to_float32(image_utils.load_image(path))[..., :3]
 
+  def load_depth(self, item_id):
+    """GT depth in scene units, or None when this frame has no depth map.
+
+    The reference declares `depth_dir` but never reads it
+    (/root/reference/nerfies/datasets/nerfies.py:92), leaving its eval
+    depth metrics unreachable; here captures with depth/{scale}x/{id}.png
+    uint16 maps feed eval's depth-MAE. Raw depth is metric, cameras are
+    rescaled into scene units by `scene_scale`, so depth scales the same
+    way.
+    """
+    path = self.depth_dir / f'{item_id}.png'
+    if not path.exists():
+      return None
+    return image_utils.load_depth(path) * self.scene_scale
+
   def load_camera(self, item_id, scale_factor=1.0):
     if hasattr(item_id, 'suffix'):  # a path-like to a camera json
       camera_path = item_id

@@ -20,8 +20,13 @@ from nerfies_tpu import image_utils
 def render_sphere_image(camera: cam.Camera,
                         sphere_center=(0.0, 0.0, 0.0),
                         sphere_radius: float = 0.5,
-                        background: float = 1.0) -> np.ndarray:
-  """Analytically renders a normal-shaded sphere seen by `camera`."""
+                        background: float = 1.0,
+                        return_depth: bool = False) -> np.ndarray:
+  """Analytically renders a normal-shaded sphere seen by `camera`.
+
+  With `return_depth`, also returns the ray-distance depth map (0 where
+  the ray misses the sphere, matching eval's valid-depth convention).
+  """
   rays = camera.pixels_to_rays(camera.get_pixel_centers())
   origins = np.broadcast_to(camera.position, rays.shape)
   center = np.asarray(sphere_center, np.float32)
@@ -39,7 +44,10 @@ def render_sphere_image(camera: cam.Camera,
   color = 0.5 * (normals + 1.0)
   image = np.full(rays.shape, background, np.float32)
   image[hit] = color[hit]
-  return np.clip(image, 0.0, 1.0)
+  image = np.clip(image, 0.0, 1.0)
+  if return_depth:
+    return image, np.where(hit, t, 0.0).astype(np.float32)
+  return image
 
 
 def make_orbit_camera(theta: float, image_size=(64, 48), radius: float = 3.0,
@@ -63,6 +71,7 @@ def write_synthetic_dataset(data_dir,
                             image_scales=(1,),
                             motion_amplitude: float = 0.0,
                             num_points: int = 256,
+                            write_depth: bool = False,
                             seed: int = 0) -> Path:
   """Writes a full nerfies-format capture directory.
 
@@ -93,8 +102,9 @@ def write_synthetic_dataset(data_dir,
 
     phase = 2.0 * np.pi * i / num_frames
     offset = motion_amplitude * np.sin(phase)
-    image = render_sphere_image(camera,
-                                sphere_center=(offset, 0.0, 0.0))
+    image, depth = render_sphere_image(camera,
+                                       sphere_center=(offset, 0.0, 0.0),
+                                       return_depth=True)
     for scale in image_scales:
       rgb_dir = data_dir / 'rgb' / f'{scale}x'
       rgb_dir.mkdir(parents=True, exist_ok=True)
@@ -102,6 +112,12 @@ def write_synthetic_dataset(data_dir,
                 else image_utils.rescale_image(image, 1.0 / scale))
       image_utils.save_image(rgb_dir / f'{item_id}.png',
                              image_utils.image_to_uint8(scaled))
+      if write_depth:
+        depth_dir = data_dir / 'depth' / f'{scale}x'
+        depth_dir.mkdir(parents=True, exist_ok=True)
+        scaled_depth = (depth if scale == 1
+                        else image_utils.rescale_image(depth, 1.0 / scale))
+        image_utils.save_depth(depth_dir / f'{item_id}.png', scaled_depth)
 
     # Validation frames reuse train metadata ids (as in the vrig setup,
     # where the val camera shares each time instant with a train camera).

@@ -165,3 +165,26 @@ def test_synthetic_sphere_renders_signal(scene_dir, datasource):
   assert rgb.max() > 0.95
   assert rgb.min() < 0.8
   assert rgb.std() > 0.05
+
+
+def test_gt_depth_loading(tmp_path):
+  """depth/{scale}x maps surface through get_item in scene units."""
+  synthetic.write_synthetic_dataset(
+      tmp_path, num_train=2, num_val=1, image_size=(32, 24),
+      write_depth=True)
+  ds = datasets.from_config(
+      {'type': 'nerfies', 'data_dir': str(tmp_path)},
+      image_scale=1, use_depth=True, random_seed=0)
+  item = ds.get_item('0000')
+  assert 'depth' in item
+  depth = item['depth'][..., 0]
+  assert depth.shape == item['rgb'].shape[:2]
+  camera = ds.load_camera('0000')
+  _, expected = synthetic.render_sphere_image(camera, return_depth=True)
+  valid = expected > 0
+  assert valid.any()
+  # uint16 quantization over [0, 1000) scene units => ~0.02 absolute.
+  np.testing.assert_allclose(depth[valid], expected[valid], atol=0.05)
+  # Frames without a depth map skip the key.
+  (tmp_path / 'depth' / '1x' / '0001.png').unlink()
+  assert 'depth' not in ds.get_item('0001')

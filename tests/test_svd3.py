@@ -59,3 +59,41 @@ def test_nearest_rotation_matches_svd_polar():
   np.testing.assert_allclose(
       np.einsum('bij,bik->bjk', got, got),
       np.broadcast_to(np.eye(3), got.shape), atol=1e-5)
+
+
+def test_nearest_rotation_det_negative_matches_reference_svd():
+  """Orientation-reversing inputs must yield the reference's SVD rotation.
+
+  The reference constructs R = U diag(1, 1, det(U V^T)) V^T
+  (/root/reference/nerfies/training.py:56-68), a PROPER rotation even when
+  the Jacobian flips orientation; the plain polar factor would be a
+  reflection there.
+  """
+  rng = np.random.RandomState(11)
+  J = np.eye(3) + 0.4 * rng.randn(64, 3, 3).astype(np.float32)
+  # Force det < 0 on half the batch by swapping two rows.
+  J[::2] = J[::2][:, [1, 0, 2], :]
+  dets = np.linalg.det(J)
+  assert (dets < 0).any() and (dets > 0).any()
+
+  got = np.asarray(svd3.nearest_rotation(jnp.asarray(J)))
+
+  u, _, vh = np.linalg.svd(J)
+  sign = np.sign(np.linalg.det(u @ vh))
+  d = np.stack([np.ones_like(sign), np.ones_like(sign), sign], axis=-1)
+  ref = u @ (d[..., None] * vh)
+  np.testing.assert_allclose(got, ref, atol=2e-3)
+  # Always a proper rotation.
+  np.testing.assert_allclose(np.linalg.det(got), 1.0, atol=1e-4)
+
+
+def test_nearest_rotation_grad_finite():
+  J = np.eye(3) + 0.3 * np.random.RandomState(5).randn(8, 3, 3)
+  J[0] = J[0][[1, 0, 2], :]  # one det<0 sample
+
+  def loss(x):
+    r = svd3.nearest_rotation(x)
+    return jnp.sum((x - r) ** 2)
+
+  g = jax.grad(loss)(jnp.asarray(J, jnp.float32))
+  assert np.isfinite(np.asarray(g)).all()
