@@ -236,7 +236,9 @@ def process_capture(colmap_dir,
                     blur_keep_percentile: float = 100.0,
                     image_scales: Sequence[int] = (1, 2, 4, 8),
                     min_track_len: int = 2,
-                    orbit_frames: int = 60) -> Path:
+                    orbit_frames: int = 60,
+                    face_landmarks: Optional[Dict[str, np.ndarray]] = None,
+                    reference_ipd: float = 0.06) -> Path:
   """Full pipeline: COLMAP sparse model + images -> nerfies dataset dir.
 
   Args:
@@ -250,6 +252,11 @@ def process_capture(colmap_dir,
     image_scales: rgb pyramid levels to write.
     min_track_len: COLMAP track-length filter for background points.
     orbit_frames: frames in the generated orbit camera paths.
+    face_landmarks: optional {item_id: (L, 2) pixel landmarks} (see
+      `compute_face_landmarks`); when given, the scene is re-oriented
+      into the face-canonical basis and rescaled to meters via the
+      inter-pupillary distance (notebook cells 23-25).
+    reference_ipd: the assumed IPD in meters for metric scaling.
 
   Returns:
     The dataset directory.
@@ -266,8 +273,22 @@ def process_capture(colmap_dir,
     keep = select_sharp_frames(scores, blur_keep_percentile)
     item_ids = [item_ids[i] for i in sorted(keep)]
 
-  camera_list = [cameras[i] for i in item_ids]
   points = scene.get_filtered_points3D(min_track_len=min_track_len)
+
+  if face_landmarks:
+    lm_ids = sorted(set(face_landmarks) & set(item_ids))
+    if len(lm_ids) < 2:
+      raise ValueError('Face normalization needs landmarks for >= 2 '
+                       f'registered frames, got {len(lm_ids)}.')
+    basis, origin, metric_scale = landmark_scene_normalization(
+        [face_landmarks[i] for i in lm_ids],
+        [cameras[i] for i in lm_ids],
+        reference_ipd=reference_ipd)
+    cameras = {i: transform_camera(c, basis, origin, metric_scale)
+               for i, c in cameras.items()}
+    points = transform_points(points, basis, origin, metric_scale)
+
+  camera_list = [cameras[i] for i in item_ids]
   near, far = estimate_near_far(camera_list, points)
   positions = np.stack([c.position for c in camera_list])
   center, scale, bbox = compute_scene_center_scale(points, positions)
@@ -300,3 +321,152 @@ def process_capture(colmap_dir,
       cam.save_json(path_dir / f'{j:06d}.json')
 
   return output_dir
+
+
+# ---------------------------------------------------------------------------
+# Face-landmark metric normalization (reference notebook cells 23-25).
+#
+# The reference detects a MediaPipe face mesh in each frame, triangulates
+# the landmarks in 3D, and uses the face to (a) re-orient the scene into a
+# canonical face-aligned frame and (b) recover metric scale from the
+# inter-pupillary distance. The geometry lives here; landmark *detection*
+# is pluggable (`compute_face_landmarks` uses mediapipe when installed).
+# ---------------------------------------------------------------------------
+
+# Canonical MediaPipe face-mesh vertex indices (public topology).
+NOSE_TIP_IDX = 1
+FOREHEAD_IDX = 10
+CHIN_IDX = 152
+RIGHT_EYE_IDX = 145
+LEFT_EYE_IDX = 385
+RIGHT_TEMPLE_IDX = 162
+LEFT_TEMPLE_IDX = 389
+
+# Mean adult inter-pupillary distance, meters.
+DEFAULT_IPD = 0.06
+
+
+def compute_face_landmarks(image: np.ndarray) -> Optional[np.ndarray]:
+  """2D face-mesh landmarks in pixels, or None if no face is found.
+
+  Requires the optional `mediapipe` package (notebook cell 23); raises
+  ImportError with guidance when it is missing.
+  """
+  import mediapipe as mp  # deferred: optional capture-only dependency
+  height, width = image.shape[:2]
+  with mp.solutions.face_mesh.FaceMesh(
+      static_image_mode=True, max_num_faces=2,
+      min_detection_confidence=0.5) as face_mesh:
+    results = face_mesh.process(image_utils.image_to_uint8(image))
+  if results.multi_face_landmarks is None:
+    return None
+  landmarks = results.multi_face_landmarks[0].landmark
+  return np.array([(o.x * width, o.y * height) for o in landmarks],
+                  np.float32)
+
+
+def triangulate_landmarks(landmarks_px: Sequence[np.ndarray],
+                          cameras: Sequence[Camera]) -> np.ndarray:
+  """3D positions of per-image 2D landmarks, one ray bundle per landmark.
+
+  Args:
+    landmarks_px: per-camera (L, 2) pixel arrays (same landmark order).
+    cameras: the matching cameras.
+
+  Returns:
+    (L, 3) triangulated landmark positions.
+  """
+  origins = np.stack([np.broadcast_to(c.position, (len(px), 3))
+                      for c, px in zip(cameras, landmarks_px)])
+  directions = np.stack([
+      np.asarray(c.pixels_to_rays(px.astype(np.float32)))
+      for c, px in zip(cameras, landmarks_px)])
+  num_landmarks = origins.shape[1]
+  return np.stack([
+      triangulate_rays(origins[:, i], directions[:, i])
+      for i in range(num_landmarks)
+  ]).astype(np.float32)
+
+
+def fit_plane_normal(points: np.ndarray) -> np.ndarray:
+  """Unit normal of the least-squares plane through `points`."""
+  centered = points - points.mean(axis=0)
+  _, _, vh = np.linalg.svd(centered, full_matrices=False)
+  normal = vh[2]
+  return normal / np.linalg.norm(normal)
+
+
+def basis_from_landmarks(landmark_points: np.ndarray) -> np.ndarray:
+  """Orthonormal face basis (columns = x, y, z axes in world coords).
+
+  Z comes from the fitted face-plane normal (robust for full-body
+  captures), Y from chin->forehead, X from temple->temple; the normal's
+  sign is fixed by the right-handedness heuristic, then Y and X are
+  re-orthogonalized around the fixed Z.
+  """
+  def normalize(v):
+    return v / np.linalg.norm(v)
+
+  axis_z = normalize(fit_plane_normal(landmark_points))
+  axis_y = normalize(landmark_points[FOREHEAD_IDX]
+                     - landmark_points[CHIN_IDX])
+  axis_x = normalize(landmark_points[LEFT_TEMPLE_IDX]
+                     - landmark_points[RIGHT_TEMPLE_IDX])
+  if np.dot(np.cross(axis_x, axis_y), axis_z) < 0.0:
+    axis_z = -axis_z
+  # Re-orthogonalize around the fixed Z, renormalizing after each cross
+  # (the reference notebook skips the renormalization, leaving its basis
+  # slightly non-orthonormal when the raw axes aren't perpendicular).
+  axis_y = normalize(np.cross(axis_z, axis_x))
+  axis_x = normalize(np.cross(axis_y, axis_z))
+  return np.stack([axis_x, axis_y, axis_z]).T
+
+
+def metric_scale_from_ipd(landmark_points: np.ndarray,
+                          reference_ipd: float = DEFAULT_IPD) -> float:
+  """Scene-units -> meters ratio from the triangulated eye landmarks."""
+  model_ipd = np.linalg.norm(landmark_points[LEFT_EYE_IDX]
+                             - landmark_points[RIGHT_EYE_IDX])
+  return float(reference_ipd / model_ipd)
+
+
+def transform_camera(camera: Camera, basis: np.ndarray,
+                     origin: np.ndarray, scale: float = 1.0) -> Camera:
+  """Re-expresses a camera in the frame (basis columns, origin), scaled.
+
+  World point x maps to x' = scale * basis^T (x - origin). With
+  world-to-camera orientation R and position p, the transformed camera has
+  orientation R' = R basis and position p' = scale * basis^T (p - origin)
+  (so R'(x' - p') = scale * R (x - p): same rays, rescaled depths).
+  """
+  new_camera = camera.copy()
+  new_camera.orientation = camera.orientation @ basis
+  new_camera.position = (scale * (basis.T @ (camera.position - origin))
+                         ).astype(camera.position.dtype)
+  return new_camera
+
+
+def transform_points(points: np.ndarray, basis: np.ndarray,
+                     origin: np.ndarray, scale: float = 1.0) -> np.ndarray:
+  """Applies the same frame change to world points."""
+  return scale * (points - origin) @ basis
+
+
+def landmark_scene_normalization(
+    landmarks_px: Sequence[np.ndarray],
+    cameras: Sequence[Camera],
+    reference_ipd: float = DEFAULT_IPD,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+  """Face-canonical frame for the whole scene (notebook cell 25).
+
+  Returns:
+    (basis, origin, scale): pass to `transform_camera` /
+    `transform_points`. `origin` is the nose tip, `basis` the face axes,
+    `scale` the metric (meters) conversion from the inter-pupillary
+    distance.
+  """
+  landmark_points = triangulate_landmarks(landmarks_px, cameras)
+  basis = basis_from_landmarks(landmark_points)
+  origin = landmark_points[NOSE_TIP_IDX]
+  scale = metric_scale_from_ipd(landmark_points, reference_ipd)
+  return basis, origin, scale

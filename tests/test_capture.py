@@ -141,3 +141,101 @@ def test_process_capture_end_to_end(tmp_path):
   cams = ds.load_test_cameras()
   assert len(cams) == 4
   assert 0 < ds.near < ds.far
+
+
+def _face_landmark_points(rng):
+  """478 synthetic 3D landmarks with a plausible face geometry."""
+  pts = rng.uniform(-0.01, 0.01, (478, 3)).astype(np.float64)
+  # Flatten onto a tilted plane (normal ~ +z after normalization).
+  pts[:, 2] *= 0.05
+  pts[capture.NOSE_TIP_IDX] = [0.02, 0.0, 0.05]
+  pts[capture.FOREHEAD_IDX] = [0.0, 0.08, 0.0]
+  pts[capture.CHIN_IDX] = [0.0, -0.09, 0.01]
+  pts[capture.RIGHT_EYE_IDX] = [-0.25, 0.03, 0.0]
+  pts[capture.LEFT_EYE_IDX] = [0.25, 0.03, 0.0]
+  pts[capture.RIGHT_TEMPLE_IDX] = [-0.07, 0.02, -0.02]
+  pts[capture.LEFT_TEMPLE_IDX] = [0.07, 0.02, -0.02]
+  return pts
+
+
+def test_triangulate_landmarks_recovers_points():
+  rng = np.random.RandomState(3)
+  pts = _face_landmark_points(rng)
+  cameras, landmarks_px = [], []
+  for theta in (0.1, 0.7, 1.3, 2.0):
+    cam = synthetic.make_orbit_camera(theta, image_size=(128, 96))
+    cameras.append(cam)
+    landmarks_px.append(np.asarray(cam.project(pts)))
+  recovered = capture.triangulate_landmarks(landmarks_px, cameras)
+  np.testing.assert_allclose(recovered, pts, atol=1e-3)
+
+
+def test_landmark_scene_normalization_geometry():
+  """Basis is a rotation, nose maps to origin, IPD fixes metric scale."""
+  rng = np.random.RandomState(4)
+  pts = _face_landmark_points(rng)
+  cameras, landmarks_px = [], []
+  for theta in (0.2, 0.9, 1.6, 2.4):
+    cam = synthetic.make_orbit_camera(theta, image_size=(128, 96))
+    cameras.append(cam)
+    landmarks_px.append(np.asarray(cam.project(pts)))
+
+  basis, origin, scale = capture.landmark_scene_normalization(
+      landmarks_px, cameras)
+
+  np.testing.assert_allclose(basis.T @ basis, np.eye(3), atol=1e-5)
+  np.testing.assert_allclose(np.linalg.det(basis), 1.0, atol=1e-5)
+  np.testing.assert_allclose(origin, pts[capture.NOSE_TIP_IDX], atol=1e-3)
+  # Synthetic IPD is 0.5 scene units; DEFAULT_IPD = 0.06 m.
+  np.testing.assert_allclose(scale, 0.06 / 0.5, rtol=1e-2)
+
+  # Transformed eyes are 0.06 apart and the nose sits at the origin.
+  moved = capture.transform_points(pts, basis, origin, scale)
+  ipd = np.linalg.norm(moved[capture.LEFT_EYE_IDX]
+                       - moved[capture.RIGHT_EYE_IDX])
+  np.testing.assert_allclose(ipd, 0.06, rtol=1e-2)
+  np.testing.assert_allclose(moved[capture.NOSE_TIP_IDX], 0.0, atol=1e-5)
+
+
+def test_transform_camera_preserves_projection():
+  rng = np.random.RandomState(5)
+  pts = rng.uniform(-0.4, 0.4, (50, 3))
+  cam = synthetic.make_orbit_camera(0.8, image_size=(128, 96))
+
+  theta = 0.6
+  c, s = np.cos(theta), np.sin(theta)
+  basis = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+  origin = np.array([0.1, -0.2, 0.3])
+  scale = 2.5
+
+  new_cam = capture.transform_camera(cam, basis, origin, scale)
+  new_pts = capture.transform_points(pts, basis, origin, scale)
+  np.testing.assert_allclose(np.asarray(new_cam.project(new_pts)),
+                             np.asarray(cam.project(pts)), atol=1e-2)
+
+
+def test_process_capture_with_face_landmarks(tmp_path):
+  colmap_dir = tmp_path / 'colmap'
+  colmap_dir.mkdir()
+  mgr, _ = _make_colmap_scene(colmap_dir)
+  cameras = capture.load_colmap_cameras(mgr)
+  rng = np.random.RandomState(6)
+  pts = _face_landmark_points(rng)
+  images, face_landmarks = {}, {}
+  for name, cam in cameras.items():
+    images[name] = synthetic.render_sphere_image(cam)
+    face_landmarks[name] = np.asarray(cam.project(pts))
+
+  out_dir = capture.process_capture(
+      colmap_dir, images, tmp_path / 'dataset', val_fraction=0.34,
+      image_scales=(1,), min_track_len=2, orbit_frames=4,
+      face_landmarks=face_landmarks)
+
+  ds = datasets.from_config(
+      {'type': 'nerfies', 'data_dir': str(out_dir)}, image_scale=1,
+      use_warp_id=True)
+  assert 0 < ds.near < ds.far
+  # Cameras were rescaled to metric units: with IPD 0.5 scene units the
+  # orbit radius 3 becomes ~3 * 0.12 = 0.36 m from the nose tip.
+  cam0 = ds.load_camera(ds.train_ids[0])
+  assert np.linalg.norm(cam0.position) < 3.0

@@ -154,3 +154,60 @@ def test_colmap_database(tmp_path):
   np.testing.assert_array_equal(db.get_matches(img2, img1),
                                 matches[:, ::-1])
   db.close()
+
+
+def test_runner_arg_builders():
+  from nerfies_tpu.colmap import runner
+  feat = runner.feature_extractor_args('db.db', 'imgs')
+  assert feat[0] == 'feature_extractor'
+  assert feat[feat.index('--ImageReader.camera_model') + 1] == 'OPENCV'
+  assert feat[feat.index('--ImageReader.single_camera') + 1] == '1'
+  assert feat[feat.index('--SiftExtraction.upright') + 1] == '1'
+
+  match = runner.matcher_args('db.db')
+  assert match[0] == 'exhaustive_matcher'
+  vt = runner.matcher_args('db.db', match_method='vocab_tree',
+                           vocab_tree_path='tree.bin')
+  assert vt[0] == 'vocab_tree_matcher'
+  with pytest.raises(ValueError):
+    runner.matcher_args('db.db', match_method='vocab_tree')
+
+  mapper = runner.mapper_args('db.db', 'imgs', 'out')
+  assert mapper[0] == 'mapper'
+  assert mapper[mapper.index('--Mapper.min_num_matches') + 1] == '32'
+  assert mapper[
+      mapper.index('--Mapper.ba_refine_principal_point') + 1] == '1'
+
+
+def test_run_sfm_with_fake_colmap(tmp_path):
+  """The three stages run in order and the model dir is returned."""
+  import stat
+  from nerfies_tpu.colmap import runner
+
+  fake = tmp_path / 'colmap'
+  fake.write_text(
+      '#!/bin/bash\n'
+      f'echo "$1" >> {tmp_path}/stages.txt\n'
+      'if [ "$1" = mapper ]; then\n'
+      '  while [ $# -gt 1 ]; do\n'
+      '    if [ "$1" = --output_path ]; then out="$2"; fi; shift\n'
+      '  done\n'
+      '  mkdir -p "$out/0" && touch "$out/0/images.bin"\n'
+      'fi\n')
+  fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+
+  model_dir = runner.run_sfm(tmp_path / 'imgs', tmp_path / 'work',
+                             colmap_binary=str(fake))
+  stages = (tmp_path / 'stages.txt').read_text().split()
+  assert stages == ['feature_extractor', 'exhaustive_matcher', 'mapper']
+  assert model_dir == tmp_path / 'work' / 'sparse' / '0'
+
+
+def test_run_colmap_surfaces_failure(tmp_path):
+  import stat
+  from nerfies_tpu.colmap import runner
+  fake = tmp_path / 'colmap'
+  fake.write_text('#!/bin/bash\necho boom >&2\nexit 3\n')
+  fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+  with pytest.raises(RuntimeError, match='boom'):
+    runner.run_colmap(['feature_extractor'], colmap_binary=str(fake))
