@@ -25,6 +25,7 @@ from nerfies_tpu import datasets
 from nerfies_tpu import evaluation
 from nerfies_tpu import gpath
 from nerfies_tpu import image_utils
+from nerfies_tpu import lpips
 from nerfies_tpu import minigin as gin
 from nerfies_tpu import schedules
 from nerfies_tpu import training
@@ -78,7 +79,8 @@ def compute_multiscale_ssim(image1: np.ndarray, image2: np.ndarray) -> float:
 
 
 def process_batch(*, batch, rng, state, tag, item_id, step, render_fn,
-                  summary_writer, save_dir, datasource, chunk=8192):
+                  summary_writer, save_dir, datasource, chunk=8192,
+                  lpips_fn=None):
   """Renders one example and logs metrics/images.
 
   Parity: reference eval.py:83-153.
@@ -115,6 +117,9 @@ def process_batch(*, batch, rng, state, tag, item_id, step, render_fn,
     ms_ssim = compute_multiscale_ssim(target, rgb)
     if not np.isnan(ms_ssim):
       stats['ms_ssim'] = ms_ssim
+    if lpips_fn is not None:
+      key = 'lpips' if lpips_fn.calibrated else 'lpips_uncal'
+      stats[key] = lpips_fn(target, rgb)
     abs_error = np.abs(target - rgb).mean(axis=-1)
     images['rgb_target'] = target
     images['error_abs'] = viz.colorize(abs_error, cmin=0.0, cmax=1.0)
@@ -134,7 +139,7 @@ def process_batch(*, batch, rng, state, tag, item_id, step, render_fn,
     for name, image in images.items():
       summary_writer.add_image(f'{tag}/{item_id}/{name}',
                                image, step, dataformats='HWC')
-    for name in ('psnr', 'ms_ssim'):
+    for name in ('psnr', 'ms_ssim', 'lpips', 'lpips_uncal'):
       if name in stats:
         summary_writer.add_scalar(f'metrics/{tag}/{item_id}/{name}',
                                   stats[name], step)
@@ -157,7 +162,8 @@ def process_batch(*, batch, rng, state, tag, item_id, step, render_fn,
 
 
 def process_iterator(*, tag, item_ids, iterator, rng, state, step, render_fn,
-                     summary_writer, save_dir, datasource, chunk=8192):
+                     summary_writer, save_dir, datasource, chunk=8192,
+                     lpips_fn=None):
   """Renders a set of examples, aggregating metric means.
 
   Parity: reference eval.py:155-214.
@@ -167,7 +173,8 @@ def process_iterator(*, tag, item_ids, iterator, rng, state, step, render_fn,
     stats = process_batch(
         batch=batch, rng=rng, state=state, tag=tag, item_id=item_id,
         step=step, render_fn=render_fn, summary_writer=summary_writer,
-        save_dir=save_dir, datasource=datasource, chunk=chunk)
+        save_dir=save_dir, datasource=datasource, chunk=chunk,
+        lpips_fn=lpips_fn)
     for k, v in stats.items():
       meters[k].update(v)
   if summary_writer is not None:
@@ -288,6 +295,14 @@ def main(argv):
   mesh = mesh_lib.create_mesh()
   render_fn = evaluation.make_render_fn(model, mesh)
 
+  lpips_fn = None
+  if eval_config.compute_lpips:
+    lpips_fn = lpips.LPIPS(weights_path=eval_config.lpips_weights)
+    if not lpips_fn.calibrated:
+      logging.warning(
+          'No LPIPS weights file configured (EvalConfig.lpips_weights); '
+          'reporting the seeded random-feature fallback as lpips_uncal.')
+
   summary_writer = _make_summary_writer(summary_dir) \
       if jax.process_index() == 0 else None
 
@@ -322,7 +337,8 @@ def main(argv):
           tag=tag, item_ids=ids, iterator=iterator, rng=rng, state=state,
           step=step, render_fn=render_fn,
           summary_writer=summary_writer, save_dir=save_dir,
-          datasource=datasource, chunk=eval_config.chunk)
+          datasource=datasource, chunk=eval_config.chunk,
+          lpips_fn=lpips_fn)
 
     if val_ids:
       run_render('val', val_ids)
@@ -336,7 +352,8 @@ def main(argv):
           tag='test', item_ids=[f'{i:04d}' for i in range(len(test_cameras))],
           iterator=iterator, rng=rng, state=state, step=step,
           render_fn=render_fn, summary_writer=summary_writer,
-          save_dir=save_dir, datasource=datasource, chunk=eval_config.chunk)
+          save_dir=save_dir, datasource=datasource, chunk=eval_config.chunk,
+          lpips_fn=lpips_fn)
 
     if eval_config.save_output:
       delete_old_renders(render_root, eval_config.max_render_checkpoints)

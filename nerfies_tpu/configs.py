@@ -170,3 +170,9 @@ class EvalConfig:
   num_val_eval: Optional[int] = 10
   num_train_eval: Optional[int] = 10
   num_test_eval: Optional[int] = 10
+
+  # LPIPS perceptual metric (paper-parity table). With no weights file the
+  # metric falls back to a seeded random-feature distance and is reported
+  # as `lpips_uncal` instead of `lpips` (see nerfies_tpu/lpips.py).
+  compute_lpips: bool = True
+  lpips_weights: Optional[str] = None
