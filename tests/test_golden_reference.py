@@ -1,0 +1,262 @@
+"""Golden parity: the rebuild's math vs the ACTUAL reference implementation.
+
+Runs the upstream code (see reference_loader) side by side with the
+rebuild on identical fixed-seed inputs and asserts numeric agreement.
+This is the direct check BASELINE.md asks for ("bit-comparable renders"):
+render math, hierarchical sampling, robust/elastic losses, Lie algebra,
+and quaternion ops are compared function-for-function; intentional
+divergences (documented reference bugs) are asserted as such.
+
+Skips cleanly when /root/reference is absent.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip('jax.numpy')
+import jax  # noqa: E402
+
+from tests import reference_loader
+
+if not reference_loader.reference_available():
+  pytest.skip('reference tree not available', allow_module_level=True)
+
+ref = reference_loader.load_reference()
+from nerfies import model_utils as ref_model_utils  # noqa: E402
+from nerfies import quaternion as ref_quaternion  # noqa: E402
+from nerfies import rigid_body as ref_rigid  # noqa: E402
+from nerfies import training as ref_training  # noqa: E402
+from nerfies import utils as ref_utils  # noqa: E402
+
+from nerfies_tpu import training  # noqa: E402
+from nerfies_tpu.ops import mathutils  # noqa: E402
+from nerfies_tpu.ops import quaternion  # noqa: E402
+from nerfies_tpu.ops import rendering  # noqa: E402
+from nerfies_tpu.ops import rigid  # noqa: E402
+
+
+def _rays(batch=32, seed=0):
+  rng = np.random.RandomState(seed)
+  origins = rng.uniform(-1, 1, (batch, 3)).astype(np.float32)
+  directions = rng.normal(size=(batch, 3)).astype(np.float32)
+  directions /= np.linalg.norm(directions, axis=-1, keepdims=True)
+  return jnp.asarray(origins), jnp.asarray(directions)
+
+
+def test_sample_along_rays_matches_reference():
+  origins, directions = _rays()
+  key = jax.random.PRNGKey(3)
+  for stratified in (False, True):
+    for disparity in (False, True):
+      z_ref, p_ref = ref_model_utils.sample_along_rays(
+          key, origins, directions, 32, 0.2, 4.0, stratified, disparity)
+      z_got, p_got = rendering.sample_along_rays(
+          key, origins, directions, 32, 0.2, 4.0, stratified, disparity)
+      np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref),
+                                 atol=1e-6)
+      np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_ref),
+                                 atol=1e-6)
+
+
+def test_volumetric_rendering_matches_reference():
+  rng = np.random.RandomState(1)
+  B, S = 16, 24
+  rgb = jnp.asarray(rng.rand(B, S, 3).astype(np.float32))
+  sigma = jnp.asarray(rng.gamma(1.5, 2.0, (B, S)).astype(np.float32))
+  z_vals = jnp.asarray(
+      np.sort(rng.uniform(0.2, 4.0, (B, S)).astype(np.float32), axis=-1))
+  dirs = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+  for white in (False, True):
+    for at_inf in (False, True):
+      out_ref = ref_model_utils.volumetric_rendering(
+          rgb, sigma, z_vals, dirs, white, sample_at_infinity=at_inf,
+          return_weights=True)
+      out_got = rendering.volumetric_rendering(
+          rgb, sigma, z_vals, dirs, white, sample_at_infinity=at_inf,
+          return_weights=True)
+      for k in ('rgb', 'depth', 'med_depth', 'acc', 'weights'):
+        np.testing.assert_allclose(
+            np.asarray(out_got[k]), np.asarray(out_ref[k]), atol=1e-5,
+            err_msg=f'{k} diverged (white={white}, at_inf={at_inf})')
+
+
+def test_piecewise_constant_pdf_matches_reference():
+  """Same CDF inversion despite the rebuild's one-hot-matmul formulation.
+
+  Deterministic u-grid comparison (the stratified path consumes the PRNG
+  identically -- same shape and distribution -- so equality there follows
+  from this plus `sample_along_rays`' stratified parity).
+  """
+  rng = np.random.RandomState(2)
+  B, nb = 16, 32
+  bins = jnp.asarray(
+      np.sort(rng.uniform(0.2, 4.0, (B, nb + 1)).astype(np.float32),
+              axis=-1))
+  weights = jnp.asarray(rng.rand(B, nb).astype(np.float32))
+  # Include degenerate rows: all-zero mass and a single spike.
+  weights = weights.at[0].set(0.0)
+  weights = weights.at[1].set(jnp.zeros(nb).at[7].set(100.0))
+  z_ref = np.asarray(ref_model_utils.piecewise_constant_pdf(
+      jax.random.PRNGKey(0), bins, weights, 24, False))
+  z_got = np.asarray(rendering.piecewise_constant_pdf(
+      jax.random.PRNGKey(0), bins, weights, 24, False))
+  # Non-degenerate rows match exactly. On the spike row the u=1 sample
+  # falls in a ~zero-mass bin whose interpolation position depends on
+  # float rounding of the epsilon CDF (the reference normalizes before
+  # the cumsum, the rebuild after), so that row is compared in
+  # distribution: nearly all samples must land in the spiked bin.
+  np.testing.assert_allclose(z_got[0], z_ref[0], atol=2e-4)
+  np.testing.assert_allclose(z_got[2:], z_ref[2:], atol=2e-4)
+  spike_lo, spike_hi = np.asarray(bins)[1, 7], np.asarray(bins)[1, 8]
+  for z in (z_got, z_ref):
+    in_spike = (z[1] >= spike_lo - 1e-5) & (z[1] <= spike_hi + 1e-5)
+    assert in_spike.mean() > 0.9
+
+
+def test_sample_pdf_matches_reference():
+  origins, directions = _rays(batch=8, seed=5)
+  rng = np.random.RandomState(5)
+  S = 16
+  z_vals = jnp.asarray(np.broadcast_to(
+      np.linspace(0.2, 4.0, S, dtype=np.float32), (8, S)).copy())
+  bins = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+  weights = jnp.asarray(rng.rand(8, S - 2).astype(np.float32))
+  z_ref, p_ref = ref_model_utils.sample_pdf(
+      jax.random.PRNGKey(1), bins, weights, origins, directions, z_vals,
+      12, False)
+  z_got, p_got = rendering.sample_pdf(
+      jax.random.PRNGKey(1), bins, weights, origins, directions, z_vals,
+      12, False)
+  np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref),
+                             atol=2e-4)
+  np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_ref),
+                             atol=1e-3)
+
+
+def test_depth_maps_match_reference():
+  rng = np.random.RandomState(3)
+  weights = jnp.asarray(rng.rand(8, 32).astype(np.float32))
+  z_vals = jnp.asarray(
+      np.sort(rng.uniform(0.2, 4.0, (8, 32)).astype(np.float32), axis=-1))
+  np.testing.assert_allclose(
+      np.asarray(rendering.compute_depth_map(weights, z_vals)),
+      np.asarray(ref_model_utils.compute_depth_map(weights, z_vals)),
+      atol=1e-6)
+  np.testing.assert_allclose(
+      np.asarray(rendering.compute_depth_index(weights)),
+      np.asarray(ref_model_utils.compute_depth_index(weights)), atol=0)
+
+
+def test_general_loss_matches_reference():
+  rng = np.random.RandomState(4)
+  sq = jnp.asarray(rng.gamma(1.0, 1.0, (256,)).astype(np.float32))
+  for alpha in (-100.0, -2.0, -1.0, 0.0, 1.0, 2.0, 100.0):
+    got = mathutils.general_loss_with_squared_residual(
+        sq, alpha=alpha, scale=0.03)
+    want = ref_utils.general_loss_with_squared_residual(
+        sq, alpha=alpha, scale=0.03)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6,
+                               err_msg=f'alpha={alpha}')
+
+
+def test_elastic_loss_matches_reference():
+  rng = np.random.RandomState(6)
+  jac = jnp.asarray(
+      (np.eye(3) + 0.3 * rng.randn(64, 3, 3)).astype(np.float32))
+  for loss_type in ('log_svals', 'svals', 'jtj', 'div', 'det', 'log_det'):
+    loss_got, res_got = training.compute_elastic_loss(
+        jac, loss_type=loss_type)
+    loss_ref, res_ref = jax.vmap(
+        lambda j: ref_training.compute_elastic_loss(
+            j, loss_type=loss_type))(jac)
+    np.testing.assert_allclose(np.asarray(loss_got), np.asarray(loss_ref),
+                               rtol=2e-3, atol=1e-5,
+                               err_msg=f'loss_type={loss_type}')
+    np.testing.assert_allclose(np.asarray(res_got), np.asarray(res_ref),
+                               rtol=2e-3, atol=1e-4,
+                               err_msg=f'loss_type={loss_type}')
+
+
+def test_exp_se3_matches_reference():
+  rng = np.random.RandomState(7)
+  for _ in range(8):
+    w = rng.randn(3).astype(np.float32)
+    w /= np.linalg.norm(w)
+    v = rng.randn(3).astype(np.float32)
+    S = jnp.asarray(np.concatenate([w, v]))
+    theta = jnp.asarray(np.float32(rng.uniform(0.1, 2.0)))
+    got = rigid.exp_se3(S, theta)
+    want = ref_rigid.exp_se3(S, theta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+    # The fused apply matches materializing the 4x4 transform.
+    p = jnp.asarray(rng.randn(3).astype(np.float32))
+    applied = rigid.se3_apply(S, theta, p)
+    homog = np.asarray(want) @ np.append(np.asarray(p), 1.0)
+    np.testing.assert_allclose(np.asarray(applied), homog[:3], atol=1e-5)
+
+
+def test_quaternion_ops_match_reference():
+  rng = np.random.RandomState(8)
+  q1 = jnp.asarray(rng.randn(4).astype(np.float32))
+  q2 = jnp.asarray(rng.randn(4).astype(np.float32))
+  np.testing.assert_allclose(
+      np.asarray(quaternion.multiply(q1, q2)),
+      np.asarray(ref_quaternion.multiply(q1, q2)), atol=1e-6)
+  qn = quaternion.normalize(q1)
+  small = jnp.asarray([0.1, -0.2, 0.05, 0.0], jnp.float32)
+  np.testing.assert_allclose(
+      np.asarray(quaternion.exp(small)),
+      np.asarray(ref_quaternion.exp(small)), atol=1e-6)
+  v = jnp.asarray(rng.randn(3).astype(np.float32))
+  np.testing.assert_allclose(
+      np.asarray(quaternion.rotate(qn, v)),
+      np.asarray(ref_quaternion.rotate(qn, v)), atol=1e-5)
+  # The reference leaves a trailing singleton dim on the matrix
+  # (quaternion.py:131-152 builds it from keepdims slices); squeeze it.
+  np.testing.assert_allclose(
+      np.asarray(quaternion.to_rotation_matrix(qn)),
+      np.asarray(ref_quaternion.to_rotation_matrix(qn)).squeeze(-1),
+      atol=1e-6)
+
+
+def test_quaternion_log_fixes_reference_bug():
+  """Documented intentional divergence: reference quaternion.log is broken.
+
+  /root/reference/nerfies/quaternion.py:99 computes the rotation angle as
+  `safe_acos(s / eps)` -- dividing the real part by the EPSILON instead of
+  the quaternion magnitude -- so the angle saturates to ~0 (s > 0) or ~pi
+  (s < 0) for every non-pure quaternion. The rebuild uses acos(s / |q|).
+  This test pins both behaviors so the divergence stays deliberate.
+  """
+  q = quaternion.normalize(
+      jnp.asarray([0.3, -0.4, 0.2, 0.6], jnp.float32))
+  # Rebuild: exp(log(q)) round-trips.
+  np.testing.assert_allclose(
+      np.asarray(quaternion.exp(quaternion.log(q))), np.asarray(q),
+      atol=1e-5)
+  # Reference: the angle collapses to acos(1 - eps) ~= 4.2e-4, so its
+  # imaginary part is near zero no matter the input.
+  ref_log = np.asarray(ref_quaternion.log(q))
+  assert np.linalg.norm(ref_log[:3]) < 1e-3
+  got_log = np.asarray(quaternion.log(q))
+  assert np.linalg.norm(got_log[:3]) > 0.5
+
+
+def test_noise_regularize_matches_reference():
+  rng = np.random.RandomState(9)
+  raw_sigma = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+  key = jax.random.PRNGKey(2)
+  got = rendering.noise_regularize(key, raw_sigma, 0.5, True)
+  # The reference operates on a packed (B, S, 4) rgb+sigma array, adding
+  # noise to channel 3; same PRNG element count => identical noise bits.
+  raw4 = jnp.concatenate(
+      [jnp.zeros((8, 16, 3), jnp.float32), raw_sigma[..., None]], axis=-1)
+  want = ref_model_utils.noise_regularize(key, raw4, 0.5, True)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want)[..., 3],
+                             atol=1e-6)
+  # Noise off when not stratified.
+  np.testing.assert_allclose(
+      np.asarray(rendering.noise_regularize(key, raw_sigma, 0.5, False)),
+      np.asarray(raw_sigma))
