@@ -83,24 +83,8 @@ def normalize(x):
   return x / np.linalg.norm(x)
 
 
-def shard(xs, device_count=None):
-  """Adds a leading device axis (legacy pmap-style helper)."""
-  if device_count is None:
-    device_count = jax.local_device_count()
-  return jax.tree.map(
-      lambda x: x.reshape((device_count, -1) + x.shape[1:]), xs)
-
-
 def to_device(xs):
   return jax.tree.map(jnp.asarray, xs)
-
-
-def unshard(x, padding=0):
-  """Removes the leading device axis (legacy pmap-style helper)."""
-  y = x.reshape([x.shape[0] * x.shape[1]] + list(x.shape[2:]))
-  if padding > 0:
-    y = y[:-padding]
-  return y
 
 
 def parallel_map(f, iterable, max_threads=None, show_pbar=False, **kwargs):

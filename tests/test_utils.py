@@ -69,16 +69,6 @@ def test_tree_collate():
   assert out['b']['c'].shape == (4, 2)
 
 
-def test_shard_unshard_roundtrip():
-  x = np.arange(32).reshape(16, 2)
-  sharded = utils.shard({'x': x}, device_count=4)
-  assert sharded['x'].shape == (4, 4, 2)
-  back = utils.unshard(sharded['x'])
-  np.testing.assert_array_equal(back, x)
-  padded = utils.unshard(sharded['x'], padding=2)
-  assert padded.shape == (14, 2)
-
-
 def test_learning_rate_decay():
   assert abs(utils.learning_rate_decay(0) - 5e-4) < 1e-12
   assert abs(utils.learning_rate_decay(100000) - 5e-5) < 1e-12
