@@ -67,14 +67,23 @@ def _pointwise_jacobian(warp_fn, points: jnp.ndarray):
   own forward pass entirely.
 
   Returns:
-    (warped (..., 3), jacobian (..., 3, 3)) with
-    J[..., i, j] = d out_i / d in_j.
+    (warped (..., 3), jacobian (3, 3, ...)) in the LEADING matrix layout
+    of ops/svd3.py: jacobian[i, j] = d out_i / d in_j. Trailing [..., 3, 3]
+    batches tile their two minor dims to (8, 128) on TPU -- a measured 42x
+    padded-memory blow-up for train-step Jacobians -- while (3, 3, B, S)
+    packs perfectly.
   """
   warped, jvp_fn = jax.linearize(warp_fn, points)
   eye = jnp.eye(3, dtype=points.dtype)
+  # Sequential column passes: vmapping the 3 tangents into one batched
+  # pass measured no faster (the linear passes are activation-bound, not
+  # weight-bound at these batch sizes) and its 3x-wider concurrent
+  # activations pushed the quarter-HD train step over the 16G HBM limit.
   columns = [jvp_fn(jnp.broadcast_to(eye[j], points.shape))
-             for j in range(3)]
-  return warped, jnp.stack(columns, axis=-1)
+             for j in range(3)]  # each (..., i)
+  return warped, jnp.stack(
+      [jnp.stack([columns[j][..., i] for j in range(3)])
+       for i in range(3)])  # (i, j, ...)
 
 
 class _MetadataEncoderMixin:
@@ -179,7 +188,8 @@ class TranslationField(nn.Module, _MetadataEncoderMixin):
       metadata_encoded: metadata is already an embedding.
 
     Returns:
-      {'warped_points': (..., 3) [, 'jacobian': (..., 3, 3)]}.
+      {'warped_points': (..., 3) [, 'jacobian': (3, 3, ...) leading
+      layout, see ops/svd3.py]}.
     """
     if metadata_encoded:
       metadata_embed = metadata

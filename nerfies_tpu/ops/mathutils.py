@@ -37,23 +37,30 @@ def _safe_norm_jvp(axis, keepdims, tol, primals, tangents):
 
 
 def jacobian_to_curl(jacobian: jnp.ndarray) -> jnp.ndarray:
-  """Curl of the displacement field from its Jacobian (..., 3, 3)."""
-  dfx_dy = jacobian[..., 0, 1]
-  dfx_dz = jacobian[..., 0, 2]
-  dfy_dx = jacobian[..., 1, 0]
-  dfy_dz = jacobian[..., 1, 2]
-  dfz_dx = jacobian[..., 2, 0]
-  dfz_dy = jacobian[..., 2, 1]
+  """Curl of the displacement field from its Jacobian.
+
+  Leading layout (see ops/svd3.py): `jacobian` is (3, 3, ...) with
+  J[i, j] = d out_i / d in_j; the curl is returned as (3, ...).
+  """
+  dfx_dy = jacobian[0, 1]
+  dfx_dz = jacobian[0, 2]
+  dfy_dx = jacobian[1, 0]
+  dfy_dz = jacobian[1, 2]
+  dfz_dx = jacobian[2, 0]
+  dfz_dy = jacobian[2, 1]
   return jnp.stack([
       dfz_dy - dfy_dz,
       dfx_dz - dfz_dx,
       dfy_dx - dfx_dy,
-  ], axis=-1)
+  ])
 
 
 def jacobian_to_div(jacobian: jnp.ndarray) -> jnp.ndarray:
-  """Divergence of the displacement field: trace(J) - 3 for J of x -> x+f(x)."""
-  return jnp.trace(jacobian, axis1=-2, axis2=-1) - 3.0
+  """Divergence of the displacement field: trace(J) - 3 for J of x -> x+f(x).
+
+  `jacobian` is (3, 3, ...) leading layout.
+  """
+  return jacobian[0, 0] + jacobian[1, 1] + jacobian[2, 2] - 3.0
 
 
 def compute_psnr(mse: jnp.ndarray) -> jnp.ndarray:

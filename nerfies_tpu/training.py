@@ -88,7 +88,8 @@ def compute_elastic_loss(jacobian: jnp.ndarray, eps: float = 1e-6,
   """Elastic deformation regularizer on warp Jacobians.
 
   Seven variants, parity with reference training.py:71-114 but natively
-  batched over (..., 3, 3) and TPU-friendly (closed-form spectra).
+  batched and TPU-friendly: `jacobian` uses the LEADING (3, 3, ...) layout
+  of ops/svd3.py, and spectra are closed-form.
 
   Returns:
     (loss, residual), each shaped like the Jacobian batch (...,).
@@ -96,14 +97,22 @@ def compute_elastic_loss(jacobian: jnp.ndarray, eps: float = 1e-6,
   if loss_type == 'log_svals':
     svals = svd3.svals3(jacobian, eps=eps ** 2)
     log_svals = jnp.log(jnp.maximum(svals, eps))
-    sq_residual = jnp.sum(log_svals ** 2, axis=-1)
+    sq_residual = jnp.sum(log_svals ** 2, axis=0)
   elif loss_type == 'svals':
     svals = svd3.svals3(jacobian, eps=eps ** 2)
-    sq_residual = jnp.sum((svals - 1.0) ** 2, axis=-1)
+    sq_residual = jnp.sum((svals - 1.0) ** 2, axis=0)
   elif loss_type == 'jtj':
-    jtj = jacobian @ jnp.swapaxes(jacobian, -1, -2)
-    eye = jnp.eye(3, dtype=jacobian.dtype)
-    sq_residual = ((jtj - eye) ** 2).sum(axis=(-2, -1)) / 4.0
+    # || J J^T - I ||_F^2 / 4 from the 6 unique entries of J J^T
+    # (explicit multiply-adds; einsum over the 3-axis lowers to a
+    # batch-leading dot_general, re-creating trailing [..., 3, 3]).
+    def row_dot(i, k):
+      return (jacobian[i, 0] * jacobian[k, 0]
+              + jacobian[i, 1] * jacobian[k, 1]
+              + jacobian[i, 2] * jacobian[k, 2])
+    sq_residual = ((row_dot(0, 0) - 1.0) ** 2 + (row_dot(1, 1) - 1.0) ** 2
+                   + (row_dot(2, 2) - 1.0) ** 2
+                   + 2.0 * (row_dot(0, 1) ** 2 + row_dot(0, 2) ** 2
+                            + row_dot(1, 2) ** 2)) / 4.0
   elif loss_type == 'div':
     div = mathutils.jacobian_to_div(jacobian)
     sq_residual = div ** 2
@@ -115,7 +124,7 @@ def compute_elastic_loss(jacobian: jnp.ndarray, eps: float = 1e-6,
     sq_residual = jnp.log(jnp.maximum(det, eps)) ** 2
   elif loss_type == 'nr':
     rot = svd3.nearest_rotation(jacobian)
-    sq_residual = jnp.sum((jacobian - rot) ** 2, axis=(-2, -1))
+    sq_residual = jnp.sum((jacobian - rot) ** 2, axis=(0, 1))
   else:
     raise NotImplementedError(f'Unknown elastic loss type {loss_type!r}')
   residual = jnp.sqrt(sq_residual)
@@ -181,9 +190,10 @@ def train_step(model,
       weights = lax.stop_gradient(model_out['weights'])
       jacobian = model_out['warp_jacobian']
       if elastic_reduce_method == 'median':
+        # jacobian is (3, 3, B, S); pick the median-depth sample per ray.
         depth_indices = rendering.compute_depth_index(weights)
         jacobian = jnp.take_along_axis(
-            jacobian, depth_indices[..., None, None, None], axis=-3)
+            jacobian, depth_indices[None, None, :, None], axis=-1)
       elastic_loss, elastic_residual = compute_elastic_loss(
           jacobian, loss_type=elastic_loss_type)
       if elastic_reduce_method == 'weight':
@@ -215,7 +225,7 @@ def train_step(model,
       stats['metric/jacobian_div'] = jnp.mean(
           mathutils.jacobian_to_div(jacobian))
       stats['metric/jacobian_curl'] = jnp.mean(
-          jnp.linalg.norm(mathutils.jacobian_to_curl(jacobian), axis=-1))
+          jnp.linalg.norm(mathutils.jacobian_to_curl(jacobian), axis=0))
 
     stats['loss/total'] = loss
     stats['metric/psnr'] = mathutils.compute_psnr(rgb_loss)
@@ -288,7 +298,11 @@ def compile_train_step(model, train_config: 'configs.TrainConfig',
       step_fn,
       in_shardings=(repl, repl, data_sharding, repl),
       out_shardings=(repl, repl, repl),
-      donate_argnums=(1, 2),  # donate state and batch
+      # Donate only the state: its buffers alias the returned state
+      # (params/opt-state update in place). Batch buffers never alias an
+      # output, so donating them only produced "donated buffers were not
+      # usable" warnings every compile.
+      donate_argnums=(1,),
   )
 
   def run(rng, state, batch, scalar_params):

@@ -33,6 +33,7 @@ from nerfies_tpu.ops import mathutils  # noqa: E402
 from nerfies_tpu.ops import quaternion  # noqa: E402
 from nerfies_tpu.ops import rendering  # noqa: E402
 from nerfies_tpu.ops import rigid  # noqa: E402
+from nerfies_tpu.ops import svd3  # noqa: E402
 
 
 def _rays(batch=32, seed=0):
@@ -165,8 +166,9 @@ def test_elastic_loss_matches_reference():
   jac = jnp.asarray(
       (np.eye(3) + 0.3 * rng.randn(64, 3, 3)).astype(np.float32))
   for loss_type in ('log_svals', 'svals', 'jtj', 'div', 'det', 'log_det'):
+    # Rebuild uses the leading (3, 3, ...) layout; reference is trailing.
     loss_got, res_got = training.compute_elastic_loss(
-        jac, loss_type=loss_type)
+        svd3.from_trailing(jac), loss_type=loss_type)
     loss_ref, res_ref = jax.vmap(
         lambda j: ref_training.compute_elastic_loss(
             j, loss_type=loss_type))(jac)

@@ -50,12 +50,16 @@ def test_general_loss_geman_mcclure_monotone_and_bounded():
 
 
 def test_jacobian_div_curl():
-  J = jnp.asarray(np.random.RandomState(1).randn(5, 3, 3), jnp.float32)
+  # Leading (3, 3, batch) layout (ops/svd3.py).
+  J_trail = np.random.RandomState(1).randn(5, 3, 3).astype(np.float32)
+  J = jnp.moveaxis(jnp.asarray(J_trail), (-2, -1), (0, 1))
   div = np.asarray(mathutils.jacobian_to_div(J))
   np.testing.assert_allclose(
-      div, np.trace(np.asarray(J), axis1=-2, axis2=-1) - 3.0, atol=1e-6)
+      div, np.trace(J_trail, axis1=-2, axis2=-1) - 3.0, atol=1e-6)
   curl = np.asarray(mathutils.jacobian_to_curl(J))
-  assert curl.shape == (5, 3)
+  assert curl.shape == (3, 5)
+  expected_curl0 = J_trail[:, 2, 1] - J_trail[:, 1, 2]
+  np.testing.assert_allclose(curl[0], expected_curl0, atol=1e-6)
 
 
 def test_psnr():

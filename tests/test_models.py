@@ -108,7 +108,8 @@ def test_warp_jacobian_matches_jacfwd(field_type):
   extra = {'alpha': jnp.asarray(2.0)}
   params = field.init(jax.random.PRNGKey(3), points, metadata, extra)
   out = field.apply(params, points, metadata, extra, True)
-  jac = np.asarray(out['jacobian'])
+  # Leading (3, 3, B, S) layout; convert to trailing for the jacfwd check.
+  jac = np.moveaxis(np.asarray(out['jacobian']), (0, 1), (-2, -1))
   assert jac.shape == (2, 3, 3, 3)
 
   # Reference Jacobian: per-point jacfwd of the warp.
@@ -223,7 +224,7 @@ def test_forward_weights_and_jacobian_outputs():
                     return_points=True,
                     rngs={'coarse': jax.random.PRNGKey(1),
                           'fine': jax.random.PRNGKey(2)})
-  assert out['coarse']['warp_jacobian'].shape == (4, 4, 3, 3)
+  assert out['coarse']['warp_jacobian'].shape == (3, 3, 4, 4)
   assert out['coarse']['weights'].shape == (4, 4)
   assert out['fine']['weights'].shape == (4, 8)  # coarse+fine union
   assert out['coarse']['points'].shape == (4, 4, 3)

@@ -9,6 +9,7 @@ import pytest
 from nerfies_tpu import checkpoints
 from nerfies_tpu import configs
 from nerfies_tpu import training
+from nerfies_tpu.ops import svd3
 from nerfies_tpu.models import nerf
 from nerfies_tpu.parallel import mesh as mesh_lib
 
@@ -65,15 +66,17 @@ def _fake_batch(batch_size=16, with_background=False):
 @pytest.mark.parametrize('loss_type', [
     'log_svals', 'svals', 'jtj', 'div', 'det', 'log_det', 'nr'])
 def test_elastic_loss_types(loss_type):
-  J = jnp.eye(3)[None, None] + 0.1 * jax.random.normal(
-      jax.random.PRNGKey(0), (4, 5, 3, 3))
+  # Leading (3, 3, B, S) Jacobian layout (ops/svd3.py).
+  J = svd3.from_trailing(jnp.eye(3)[None, None] + 0.1 * jax.random.normal(
+      jax.random.PRNGKey(0), (4, 5, 3, 3)))
   loss, residual = training.compute_elastic_loss(J, loss_type=loss_type)
   assert loss.shape == (4, 5)
   assert residual.shape == (4, 5)
   assert np.isfinite(np.asarray(loss)).all()
   # Identity Jacobians give (near) zero loss.
   loss_id, _ = training.compute_elastic_loss(
-      jnp.broadcast_to(jnp.eye(3), (2, 2, 3, 3)), loss_type=loss_type)
+      jnp.broadcast_to(jnp.eye(3)[..., None, None], (3, 3, 2, 2)),
+      loss_type=loss_type)
   assert np.abs(np.asarray(loss_id)).max() < 1e-4
 
 
@@ -82,8 +85,8 @@ def test_elastic_loss_grad_finite():
     loss, _ = training.compute_elastic_loss(J)
     return loss.sum()
 
-  J = jnp.eye(3)[None] + 0.05 * jax.random.normal(
-      jax.random.PRNGKey(1), (8, 3, 3))
+  J = svd3.from_trailing(jnp.eye(3)[None] + 0.05 * jax.random.normal(
+      jax.random.PRNGKey(1), (8, 3, 3)))
   g = jax.grad(f)(J)
   assert np.isfinite(np.asarray(g)).all()
   g_id = jax.grad(f)(jnp.broadcast_to(jnp.eye(3), (4, 3, 3)))
