@@ -131,6 +131,42 @@ class ColmapCamera:
                              options={'maxiter': 50})
     return solution.x.reshape(shape)
 
+
+  @property
+  def num_params(self) -> int:
+    return CAMERA_MODEL_NUM_PARAMS[self.model_id]
+
+  def get_inverse_camera_matrix(self) -> np.ndarray:
+    """K^-1 in closed form (upper-triangular intrinsics)."""
+    fx, fy = self.focal
+    cx, cy = self.principal_point
+    return np.array([[1.0 / fx, 0.0, -cx / fx],
+                     [0.0, 1.0 / fy, -cy / fy],
+                     [0.0, 0.0, 1.0]])
+
+  def distort_points(self, pixels: np.ndarray) -> np.ndarray:
+    """Ideal (pinhole) pixels (..., 2) -> distorted observed pixels."""
+    fx, fy = self.focal
+    cx, cy = self.principal_point
+    xy = np.stack([(pixels[..., 0] - cx) / fx,
+                   (pixels[..., 1] - cy) / fy], axis=-1)
+    xy = self._distort_normalized(xy)
+    return np.stack([fx * xy[..., 0] + cx, fy * xy[..., 1] + cy], axis=-1)
+
+  def undistort_points(self, pixels: np.ndarray) -> np.ndarray:
+    """Distorted observed pixels (..., 2) -> ideal pinhole pixels."""
+    xy = self.image_to_normalized(pixels, undistort=True)
+    fx, fy = self.focal
+    cx, cy = self.principal_point
+    return np.stack([fx * xy[..., 0] + cx, fy * xy[..., 1] + cy], axis=-1)
+
+  def get_image_grid(self, undistort: bool = True) -> np.ndarray:
+    """(H, W, 2) normalized camera coords for every pixel center."""
+    u, v = np.meshgrid(np.arange(self.width, dtype=np.float64) + 0.5,
+                       np.arange(self.height, dtype=np.float64) + 0.5)
+    pixels = np.stack([u, v], axis=-1)
+    return self.image_to_normalized(pixels, undistort=undistort)
+
   def __repr__(self):
     return (f'ColmapCamera(id={self.camera_id}, model={self.model_name}, '
             f'{self.width}x{self.height})')

@@ -158,6 +158,14 @@ class COLMAPDatabase(sqlite3.Connection):
 
   # --- readers ---
 
+  def add_inlier_matches(self, image_id1, image_id2, matches,
+                         config: int = 2, F=None, E=None, H=None):
+    """Verified (inlier) matches: two-view geometry + config code."""
+    kwargs = {k: v for k, v in (('F', F), ('E', E), ('H', H))
+              if v is not None}
+    return self.add_two_view_geometry(image_id1, image_id2, matches,
+                                      config=config, **kwargs)
+
   def get_camera(self, camera_id):
     row = self.execute(
         'SELECT model, width, height, params FROM cameras '

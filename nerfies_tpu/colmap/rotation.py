@@ -76,6 +76,32 @@ class Quaternion:
     qv = Quaternion((0.0, *v))
     return (self * qv * self.conjugate()).q[1:]
 
+  def to_axis_angle(self):
+    """(unit axis, angle in [0, pi]); axis is arbitrary at angle 0."""
+    q = self.normalized()
+    w = np.clip(q.q[0], -1.0, 1.0)
+    angle = 2.0 * np.arccos(abs(w))
+    v = q.q[1:] * (1.0 if w >= 0 else -1.0)
+    norm = np.linalg.norm(v)
+    axis = v / norm if norm > 1e-12 else np.array([1.0, 0.0, 0.0])
+    return axis, float(angle)
+
+  def to_euler_angles(self):
+    """Intrinsic roll (x), pitch (y), yaw (z) from the rotation matrix."""
+    R = self.to_rotation_matrix()
+    pitch = np.arcsin(np.clip(-R[2, 0], -1.0, 1.0))
+    if abs(R[2, 0]) < 1.0 - 1e-9:
+      roll = np.arctan2(R[2, 1], R[2, 2])
+      yaw = np.arctan2(R[1, 0], R[0, 0])
+    else:  # gimbal lock
+      roll = np.arctan2(-R[1, 2], R[1, 1])
+      yaw = 0.0
+    return float(roll), float(pitch), float(yaw)
+
+  def rotate_points(self, points) -> np.ndarray:
+    """Rotates (N, 3) points via the rotation matrix (one matmul)."""
+    return np.asarray(points, np.float64) @ self.to_rotation_matrix().T
+
   def __repr__(self):
     return f'Quaternion({self.q.tolist()})'
 
@@ -108,3 +134,22 @@ class DualQuaternion:
     dual = Quaternion(
         (self.real * other.dual).q + (self.dual * other.real).q)
     return DualQuaternion(real, dual)
+
+
+def cross_prod_matrix(v) -> np.ndarray:
+  """Skew-symmetric [v]_x with [v]_x w = v x w."""
+  x, y, z = np.asarray(v, np.float64)
+  return np.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]])
+
+
+def axis_angle_to_rotation_matrix(axis, angle: float) -> np.ndarray:
+  """Rodrigues' formula: R = I + sin(t) K + (1 - cos(t)) K^2."""
+  axis = np.asarray(axis, np.float64)
+  axis = axis / np.linalg.norm(axis)
+  K = cross_prod_matrix(axis)
+  return np.eye(3) + np.sin(angle) * K + (1.0 - np.cos(angle)) * (K @ K)
+
+
+def rotation_matrix_to_axis_angle(R):
+  """Inverse Rodrigues: (unit axis, angle in [0, pi])."""
+  return Quaternion.from_rotation_matrix(np.asarray(R)).to_axis_angle()

@@ -200,6 +200,8 @@ class SceneManager:
     self.point3D_colors = np.asarray(colors, np.uint8).reshape(-1, 3)
     self.point3D_errors = np.asarray(errors, np.float64)
     self.point3D_tracks = tracks
+    self.point3D_id_to_point3D_idx = {
+        int(pid): i for i, pid in enumerate(self.point3D_ids)}
 
   # --- saving ---
 
@@ -324,3 +326,79 @@ class SceneManager:
     self.point3D_id_to_point3D_idx = {
         int(pid): i for i, pid in enumerate(self.point3D_ids)}
     return self
+
+  # --- scene queries (parity: pycolmap scene_manager.py:450-560) ---
+
+  def point3D_valid(self, point3D_id) -> bool:
+    """Whether the id maps to a (non-filtered) reconstructed point."""
+    return int(point3D_id) in self.point3D_id_to_point3D_idx
+
+  def get_points3D(self, image_id, return_points2D: bool = False,
+                   return_colors: bool = False):
+    """3D points observed by one image (optionally + 2D pixels, colors)."""
+    image = self.images[image_id]
+    idxs, point2D_idxs = [], []
+    for i, pid in enumerate(image.point3D_ids):
+      if pid >= 0 and self.point3D_valid(pid):
+        idxs.append(self.point3D_id_to_point3D_idx[int(pid)])
+        point2D_idxs.append(i)
+    idxs = np.asarray(idxs, int)
+    result = [self.points3D[idxs]]
+    if return_points2D:
+      result.append(image.points2D[np.asarray(point2D_idxs, int)])
+    if return_colors:
+      result.append(self.point3D_colors[idxs])
+    return result[0] if len(result) == 1 else tuple(result)
+
+  def get_shared_points3D(self, image_id1, image_id2) -> np.ndarray:
+    """3D points observed by BOTH images (covisible landmarks)."""
+    ids1 = {int(p) for p in self.images[image_id1].point3D_ids if p >= 0}
+    ids2 = {int(p) for p in self.images[image_id2].point3D_ids if p >= 0}
+    shared = [self.point3D_id_to_point3D_idx[p] for p in ids1 & ids2
+              if self.point3D_valid(p)]
+    return self.points3D[np.asarray(shared, int)]
+
+  def get_viewed_points(self, image_id) -> np.ndarray:
+    """All reconstructed points in front of the image's camera,
+    expressed in that camera's frame."""
+    image = self.images[image_id]
+    points_cam = self.points3D @ image.R().T + image.tvec[None, :]
+    return points_cam[points_cam[:, 2] > 0]
+
+  def delete_images(self, image_ids) -> 'SceneManager':
+    """Removes images and scrubs them from every point track."""
+    doomed = {int(i) for i in image_ids}
+    for image_id in doomed:
+      self.images.pop(image_id, None)
+    self.name_to_image_id = {
+        name: iid for name, iid in self.name_to_image_id.items()
+        if iid not in doomed}
+    self.point3D_tracks = [
+        [(iid, p2d) for iid, p2d in track if iid not in doomed]
+        for track in self.point3D_tracks]
+    return self
+
+  def build_scene_graph(self):
+    """Covisibility graph: scene_graph[i][j] = #points seen by both i, j."""
+    from collections import defaultdict
+    from itertools import combinations
+    self.scene_graph = defaultdict(lambda: defaultdict(int))
+    for track in self.point3D_tracks:
+      track_images = sorted({iid for iid, _ in track})
+      for a, b in combinations(track_images, 2):
+        self.scene_graph[a][b] += 1
+        self.scene_graph[b][a] += 1
+    return self.scene_graph
+
+  def load_colmap_project_file(self, project_file=None, image_path=None):
+    """Reads image_path from a COLMAP project.ini when not given."""
+    self.image_path = image_path
+    if self.image_path is None:
+      if project_file is None:
+        project_file = self.colmap_dir / 'project.ini'
+      with open(project_file, 'r') as f:
+        for line in f:
+          if line.startswith('image_path'):
+            self.image_path = line.split('=', 1)[1].strip()
+            break
+    return self.image_path

@@ -462,6 +462,10 @@ class DataSource(abc.ABC):
   def load_depth(self, item_id):
     raise NotImplementedError()
 
+  def load_relative_depth(self, item_id):
+    """Optional up-to-scale depth hook (parity: ref core.py:246)."""
+    raise NotImplementedError()
+
   @abc.abstractmethod
   def load_camera(self, item_id, scale_factor=1.0):
     raise NotImplementedError()

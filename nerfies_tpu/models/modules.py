@@ -28,6 +28,13 @@ Activation = Callable[[jnp.ndarray], jnp.ndarray]
 Initializer = Any
 
 
+def identity_initializer(key, shape):
+  """Identity-matrix kernel init (parity: reference model_utils.py:331)."""
+  del key
+  max_shape = max(shape)
+  return jnp.eye(max_shape)[:shape[0], :shape[1]]
+
+
 class MLP(nn.Module):
   """Generic skip-MLP over ``(..., C)`` inputs.
 

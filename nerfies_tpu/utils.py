@@ -87,6 +87,24 @@ def to_device(xs):
   return jax.tree.map(jnp.asarray, xs)
 
 
+def broadcast_feature_to(array, shape):
+  """Broadcasts batch dims, keeping the array's own channel count.
+
+  Parity: reference model_utils.py:285-299 -- match everything except the
+  trailing channel dim.
+  """
+  return jnp.broadcast_to(array, (*shape[:-1], array.shape[-1]))
+
+
+def metadata_like(rays, metadata_id):
+  """A uint32 metadata column shaped like a ray batch.
+
+  Parity: reference model_utils.py:302-304.
+  """
+  return jnp.full_like(rays[..., :1], fill_value=metadata_id,
+                       dtype=jnp.uint32)
+
+
 def parallel_map(f, iterable, max_threads=None, show_pbar=False, **kwargs):
   """Thread-pool version of map()."""
   with futures.ThreadPoolExecutor(max_threads) as executor:

@@ -211,3 +211,87 @@ def test_run_colmap_surfaces_failure(tmp_path):
   fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
   with pytest.raises(RuntimeError, match='boom'):
     runner.run_colmap(['feature_extractor'], colmap_binary=str(fake))
+
+
+def test_scene_queries(tmp_path):
+  """get_points3D / shared / viewed / delete / scene graph round-trip."""
+  from tests.test_capture import _make_colmap_scene
+  mgr, points = _make_colmap_scene(tmp_path)
+  # Every image's observed points come back with their 2D pixels.
+  pts, px = mgr.get_points3D(1, return_points2D=True)
+  assert pts.shape[1] == 3 and px.shape[1] == 2 and len(pts) == len(px)
+  assert mgr.point3D_valid(1) and not mgr.point3D_valid(10**9)
+  shared = mgr.get_shared_points3D(1, 2)
+  assert shared.shape[1] == 3
+  viewed = mgr.get_viewed_points(1)
+  assert viewed.shape[1] == 3 and (viewed[:, 2] > 0).all()
+
+  graph = mgr.build_scene_graph()
+  # The synthetic tracks link image i with image i+1.
+  assert graph[1][2] > 0 and graph[2][1] == graph[1][2]
+
+  num_images = len(mgr.images)
+  mgr.delete_images([1])
+  assert len(mgr.images) == num_images - 1
+  assert all(1 != iid for track in mgr.point3D_tracks
+             for iid, _ in track)
+
+
+def test_project_file_image_path(tmp_path):
+  from nerfies_tpu.colmap import SceneManager
+  (tmp_path / 'project.ini').write_text(
+      '[General]\nimage_path=/data/frames\n')
+  mgr = SceneManager(tmp_path)
+  assert mgr.load_colmap_project_file() == '/data/frames'
+
+
+def test_camera_distort_roundtrip_and_grid():
+  from nerfies_tpu.colmap import ColmapCamera
+  cam = ColmapCamera(1, 'OPENCV', 16, 12,
+                     [60, 60, 8, 6, 0.05, -0.01, 0.001, 0.002])
+  pixels = np.array([[4.0, 3.0], [12.0, 9.0], [8.0, 6.0]])
+  np.testing.assert_allclose(
+      cam.undistort_points(cam.distort_points(pixels)), pixels, atol=1e-6)
+  grid = cam.get_image_grid()
+  assert grid.shape == (12, 16, 2)
+  np.testing.assert_allclose(
+      cam.get_inverse_camera_matrix() @ cam.get_camera_matrix(),
+      np.eye(3), atol=1e-12)
+  assert cam.num_params == 8
+
+
+def test_axis_angle_and_euler():
+  from nerfies_tpu.colmap import rotation as rot
+  axis = np.array([1.0, 2.0, -1.0]) / np.sqrt(6.0)
+  R = rot.axis_angle_to_rotation_matrix(axis, 1.1)
+  axis2, angle2 = rot.rotation_matrix_to_axis_angle(R)
+  np.testing.assert_allclose(axis2, axis, atol=1e-9)
+  assert abs(angle2 - 1.1) < 1e-9
+  K = rot.cross_prod_matrix([1.0, 2.0, 3.0])
+  np.testing.assert_allclose(K @ np.array([0.5, -1.0, 2.0]),
+                             np.cross([1.0, 2.0, 3.0], [0.5, -1.0, 2.0]))
+  q = rot.Quaternion.from_rotation_matrix(R)
+  roll, pitch, yaw = q.to_euler_angles()
+  Rz = rot.axis_angle_to_rotation_matrix([0, 0, 1], yaw)
+  Ry = rot.axis_angle_to_rotation_matrix([0, 1, 0], pitch)
+  Rx = rot.axis_angle_to_rotation_matrix([1, 0, 0], roll)
+  np.testing.assert_allclose(Rz @ Ry @ Rx, R, atol=1e-9)
+  pts = np.random.RandomState(0).randn(4, 3)
+  np.testing.assert_allclose(q.rotate_points(pts), pts @ R.T, atol=1e-9)
+
+
+def test_add_inlier_matches(tmp_path):
+  from nerfies_tpu.colmap import COLMAPDatabase
+  db = COLMAPDatabase.connect(tmp_path / 'db.db')
+  db.create_tables()
+  db.add_camera('OPENCV', 64, 48, [60, 60, 32, 24, 0, 0, 0, 0],
+                camera_id=1)
+  db.add_image('a.png', 1, image_id=1)
+  db.add_image('b.png', 1, image_id=2)
+  matches = np.array([[0, 1], [2, 3]], np.uint32)
+  db.add_inlier_matches(1, 2, matches)
+  db.commit()
+  rows = db.execute('SELECT pair_id, config FROM two_view_geometries')
+  (pair_id, config), = rows.fetchall()
+  assert config == 2
+  db.close()
