@@ -77,6 +77,24 @@ def test_render_image_chunk_invariance():
   np.testing.assert_allclose(out1['depth'], out2['depth'], atol=1e-5)
 
 
+def test_render_image_fused_matches_loop():
+  """The single-dispatch lax.map path equals the per-chunk loop fallback."""
+  import functools
+  model, params = _tiny_model()
+  state = training.create_train_state(params, warp_alpha=2.0)
+  mesh = mesh_lib.create_mesh()
+  render_fn = evaluation.make_render_fn(model, mesh)
+  rays = _image_rays(10, 14)  # 140 rays: partial final chunk
+  fused = evaluation.render_image(state, rays, render_fn, chunk=32)
+
+  # A bare callable without .chunked exercises the loop fallback.
+  plain_fn = functools.partial(render_fn)
+  assert not hasattr(plain_fn, 'chunked')
+  loop = evaluation.render_image(state, rays, plain_fn, chunk=32)
+  for k in ('rgb', 'depth', 'med_depth', 'acc'):
+    np.testing.assert_allclose(fused[k], loop[k], atol=1e-5, err_msg=k)
+
+
 # --- SSIM ---
 
 
