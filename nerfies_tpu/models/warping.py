@@ -300,21 +300,23 @@ class SE3Field(nn.Module, _MetadataEncoderMixin):
     inputs = jnp.concatenate([points_embed, metadata_embed], axis=-1)
     trunk_output = self.trunk(inputs)
 
-    # Screw-axis math stays float32 regardless of the MLP compute dtype:
-    # the theta normalization is a numerical cliff in bf16.
+    # Screw-axis math stays float32 regardless of the MLP compute dtype,
+    # and uses the RAW-twist exponential: the reference's w/|w|
+    # normalization (warping.py:334-342) divides by zero whenever a
+    # near-identity rotation's |w|^2 underflows -- live on TPU, where
+    # denormals flush to zero; one such sample NaNs the whole step
+    # through the gradient. `se3_apply_raw` is exactly equal for
+    # |w| > 0 and exactly the v-translation with finite gradients at
+    # w = 0.
     w = self.branches['w'](trunk_output).astype(jnp.float32)
     v = self.branches['v'](trunk_output).astype(jnp.float32)
-    theta = jnp.linalg.norm(w, axis=-1)
-    w = w / theta[..., None]
-    v = v / theta[..., None]
-    screw_axis = jnp.concatenate([w, v], axis=-1)
 
     warped_points = points.astype(jnp.float32)
     if self.use_pivot:
       pivot = self.branches['p'](trunk_output).astype(jnp.float32)
       warped_points = warped_points + pivot
 
-    warped_points = rigid.se3_apply(screw_axis, theta, warped_points)
+    warped_points = rigid.se3_apply_raw(w, v, warped_points)
 
     if self.use_pivot:
       warped_points = warped_points - pivot

@@ -129,3 +129,65 @@ def to_homogenous(v: jnp.ndarray) -> jnp.ndarray:
 
 def from_homogenous(v: jnp.ndarray) -> jnp.ndarray:
   return v[..., :3] / v[..., -1:]
+
+
+def se3_apply_raw(w: jnp.ndarray, v: jnp.ndarray,
+                  points: jnp.ndarray) -> jnp.ndarray:
+  """Applies exp([w, v]) to points from RAW (unnormalized) twists.
+
+  Identical to ``se3_apply(concat([w, v]) / |w|, |w|, points)`` for
+  |w| > 0, but formulated with sinc-style coefficients of theta = |w|:
+
+    R p   = p + a (w x p) + b (w x (w x p)),   a = sin(t)/t,
+    trans = v + b (w x v) + c (w x (w x v)),   b = (1-cos(t))/t^2,
+                                               c = (t-sin(t))/t^3,
+
+  with Taylor switches below t < 0.1. This removes the w/|w|
+  normalization cliff entirely: at w = 0 the transform is EXACTLY the
+  translation by v with finite gradients. That cliff is live on TPU --
+  denormal |w|^2 sums flush to zero, so the unit-axis form divides by
+  zero for near-identity rotations (the reference inherits this,
+  warping.py:334-342; on GPU denormals survive and it rarely fires).
+
+  Args:
+    w: (..., 3) rotation twists (NOT unit; |w| is the angle).
+    v: (..., 3) translation twists.
+    points: (..., 3).
+
+  Returns:
+    (..., 3) transformed points.
+  """
+  theta_sq = jnp.sum(w * w, axis=-1)
+  # The exact branch's input is clamped into the region where that branch
+  # is actually SELECTED (theta_sq >= 0.01). Clamping to a mere epsilon is
+  # not enough: higher-order derivatives of sin(t)/t etc. diverge as
+  # t -> 0, and the elastic regularizer differentiates THROUGH the warp
+  # Jacobian, so second derivatives of the unselected lanes flow into the
+  # loss gradient (the classic `where` trap, one derivative order up).
+  theta_sq_safe = jnp.maximum(theta_sq, 0.005)
+  theta = jnp.sqrt(theta_sq_safe)
+  sin_t = jnp.sin(theta)
+  a_exact = sin_t / theta
+  # 2 sin^2(t/2) / t^2: cancellation-free form of (1 - cos t) / t^2.
+  half_sin = jnp.sin(0.5 * theta)
+  b_exact = 2.0 * half_sin * half_sin / theta_sq_safe
+  c_exact = (theta - sin_t) / (theta_sq_safe * theta)
+
+  small = theta_sq < 0.01  # theta < 0.1: two Taylor terms < 1e-8 error
+  a = jnp.where(small, 1.0 - theta_sq / 6.0 + theta_sq * theta_sq / 120.0,
+                a_exact)[..., None]
+  b = jnp.where(small, 0.5 - theta_sq / 24.0 + theta_sq * theta_sq / 720.0,
+                b_exact)[..., None]
+  c = jnp.where(small,
+                1.0 / 6.0 - theta_sq / 120.0
+                + theta_sq * theta_sq / 5040.0,
+                c_exact)[..., None]
+
+  wxp = jnp.cross(w, points)
+  wwxp = jnp.cross(w, wxp)
+  rotated = points + a * wxp + b * wwxp
+
+  wxv = jnp.cross(w, v)
+  wwxv = jnp.cross(w, wxv)
+  translation = v + b * wxv + c * wwxv
+  return rotated + translation

@@ -83,3 +83,56 @@ def test_exp_so3_grad_finite():
 
   g = jax.grad(f)(jnp.asarray(0.3))
   assert np.isfinite(np.asarray(g)).all()
+
+
+def test_se3_apply_raw_matches_normalized():
+  rng = np.random.RandomState(0)
+  w = rng.randn(32, 3).astype(np.float32)
+  v = rng.randn(32, 3).astype(np.float32) * 0.1
+  p = rng.randn(32, 3).astype(np.float32)
+  theta = np.linalg.norm(w, axis=-1)
+  S = np.concatenate([w / theta[:, None], v / theta[:, None]], axis=-1)
+  got = np.asarray(rigid.se3_apply_raw(jnp.asarray(w), jnp.asarray(v),
+                                       jnp.asarray(p)))
+  want = np.asarray(rigid.se3_apply(jnp.asarray(S), jnp.asarray(theta),
+                                    jnp.asarray(p)))
+  np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_se3_apply_raw_zero_rotation_is_translation():
+  """At w = 0 the transform is exactly p + v -- the limit at which the
+  reference's w/|w| normalization (warping.py:334-342) divides by zero
+  (live on TPU where denormal |w|^2 flushes to 0)."""
+  p = jnp.asarray([[0.3, -0.2, 1.0]])
+  v = jnp.asarray([[0.05, 0.02, -0.01]])
+  for w in (jnp.zeros((1, 3)),
+            jnp.full((1, 3), 1e-25),
+            jnp.full((1, 3), 1e-12)):
+    out = np.asarray(rigid.se3_apply_raw(w, v, p))
+    np.testing.assert_allclose(out, np.asarray(p + v), atol=1e-6)
+
+  def loss(w):
+    return jnp.sum(rigid.se3_apply_raw(w, v, p) ** 2)
+
+  for w0 in (jnp.zeros((1, 3)), jnp.full((1, 3), 1e-25),
+             jnp.full((1, 3), 1e-6), jnp.full((1, 3), 0.05)):
+    g = np.asarray(jax.grad(loss)(w0))
+    assert np.isfinite(g).all(), w0
+
+
+def test_se3_apply_raw_taylor_boundary_matches_exact():
+  # The Taylor branch agrees with the exact-trig normalized form on both
+  # sides of the theta = 0.1 switch (no jump at the branch boundary).
+  rng = np.random.RandomState(1)
+  axis = rng.randn(3).astype(np.float32)
+  axis /= np.linalg.norm(axis)
+  v_raw = rng.randn(1, 3).astype(np.float32) * 0.1
+  p = jnp.asarray(rng.randn(1, 3).astype(np.float32))
+  for theta in (0.0999, 0.1001, 0.01, 0.5):
+    w_raw = axis[None] * theta
+    S = np.concatenate([axis[None], v_raw / theta], axis=-1)
+    got = np.asarray(rigid.se3_apply_raw(
+        jnp.asarray(w_raw), jnp.asarray(v_raw), p))
+    want = np.asarray(rigid.se3_apply(
+        jnp.asarray(S), jnp.asarray([theta], np.float32), p))
+    np.testing.assert_allclose(got, want, atol=1e-6, err_msg=str(theta))

@@ -235,3 +235,53 @@ def test_restore_without_checkpoint_returns_state(tmp_path):
   state = training.create_train_state(params)
   restored = checkpoints.restore_checkpoint(tmp_path / 'none', state)
   assert restored is state
+
+
+def test_elastic_grad_through_se3_jacobian_finite_at_init():
+  """Second-order regression: the elastic loss differentiates THROUGH the
+  warp Jacobian, so the SE(3) twist exponential must have bounded
+  derivatives at every order near w = 0 (init-scale rotation outputs).
+
+  The reference's w/|w| normalization (warping.py:334-342) NaNs here:
+  directly on TPU (denormal |w|^2 flushes to zero in the forward) and
+  through the `where`-style guards' exploding higher derivatives on all
+  backends. Reproduced as an immediate train-step NaN before the
+  raw-twist rewrite (ops/rigid.py se3_apply_raw).
+  """
+  import flax.linen as nn
+  config = configs.ModelConfig(
+      num_coarse_samples=4, num_fine_samples=0,
+      nerf_trunk_depth=2, nerf_trunk_width=16,
+      nerf_rgb_branch_depth=1, nerf_rgb_branch_width=16,
+      nerf_skips=(1,), num_nerf_point_freqs=2, num_nerf_viewdir_freqs=1,
+      use_warp=True, warp_field_type='se3', num_warp_freqs=2,
+      num_warp_features=2, sigma_activation=nn.softplus)
+  model, params = nerf.construct_nerf(
+      jax.random.PRNGKey(0), config, batch_size=8,
+      appearance_ids=(0,), camera_ids=(0,), warp_ids=(0, 1),
+      near=0.5, far=3.0, use_warp_jacobian=True, use_weights=True)
+  rng = np.random.RandomState(0)
+  directions = rng.randn(8, 3).astype(np.float32)
+  directions /= np.linalg.norm(directions, axis=-1, keepdims=True)
+  rays = {
+      'origins': jnp.zeros((8, 3)),
+      'directions': jnp.asarray(directions),
+      'metadata': {'warp': jnp.zeros((8, 1), jnp.uint32),
+                   'appearance': jnp.zeros((8, 1), jnp.uint32),
+                   'camera': jnp.zeros((8, 1), jnp.uint32)},
+  }
+
+  def loss_fn(p):
+    out = model.apply(
+        {'params': p}, rays,
+        warp_extra={'alpha': jnp.asarray(0.0),
+                    'time_alpha': jnp.asarray(0.0)},
+        return_weights=True,
+        rngs={'coarse': jax.random.PRNGKey(1),
+              'fine': jax.random.PRNGKey(2)})
+    el, _ = training.compute_elastic_loss(out['coarse']['warp_jacobian'])
+    return el.mean()
+
+  grads = jax.grad(loss_fn)(params)
+  for leaf in jax.tree.leaves(grads):
+    assert np.isfinite(np.asarray(leaf)).all()
