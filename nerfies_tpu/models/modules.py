@@ -39,7 +39,12 @@ class MLP(nn.Module):
   """Generic skip-MLP over ``(..., C)`` inputs.
 
   Parity: reference modules.py:26-62 (hidden stack with input-concat skips,
-  optional output head).
+  optional output head). The input may also be a LIST of arrays with
+  broadcast-compatible batch shapes (e.g. per-sample features + per-ray
+  codes): the first layer and every skip layer then run as `SplitDense`
+  -- mathematically the broadcast+concat+Dense, with identical parameter
+  shapes/fan-in, but the low-rank inputs are never tiled to the full
+  batch in HBM.
   """
   depth: int
   width: int
@@ -56,27 +61,30 @@ class MLP(nn.Module):
 
   @nn.compact
   def __call__(self, x):
-    inputs = x
+    inputs = list(x) if isinstance(x, (list, tuple)) else [x]
+    x = None
     for i in range(self.depth):
-      if i in self.skips:
-        x = jnp.concatenate([x, inputs], axis=-1)
-      x = nn.Dense(
+      layer_inputs = (inputs if x is None
+                      else ([x] + inputs if i in self.skips else [x]))
+      x = SplitDense(
           self.width,
           use_bias=self.use_bias,
           kernel_init=self.hidden_init,
           dtype=self.dtype,
-          name=f'hidden_{i}')(x)
+          name=f'hidden_{i}')(layer_inputs)
       x = self.hidden_activation(x)
     if self.output_channels > 0:
       output_init = self.output_init or nn.initializers.xavier_uniform()
-      x = nn.Dense(
+      x = SplitDense(
           self.output_channels,
           use_bias=self.use_bias,
           kernel_init=output_init,
           dtype=self.dtype,
-          name='logit')(x)
+          name='logit')(inputs if x is None else [x])
       if self.output_activation is not None:
         x = self.output_activation(x)
+    elif x is None:
+      raise ValueError('depth == 0 with no output head.')
     return x
 
 

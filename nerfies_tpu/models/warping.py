@@ -166,14 +166,12 @@ class TranslationField(nn.Module, _MetadataEncoderMixin):
         max_freq_log2=self.max_freq_log2, use_identity=self.use_identity_map,
         alpha=extra.get('alpha'))
     # Per-ray codes (B, F) align against per-sample points (B, S, 3) by
-    # inserting the sample axis before broadcasting.
+    # inserting the sample axis; the MLP's SplitDense path consumes them
+    # without ever tiling the codes across samples in HBM.
     while metadata_embed.ndim < points.ndim:
       metadata_embed = metadata_embed[..., None, :]
-    metadata_embed = jnp.broadcast_to(
-        metadata_embed,
-        points.shape[:-1] + (self.num_embedding_features,))
-    inputs = jnp.concatenate([points_embed, metadata_embed], axis=-1)
-    return points + self.mlp(inputs).astype(points.dtype)
+    return points + self.mlp(
+        [points_embed, metadata_embed]).astype(points.dtype)
 
   def __call__(self, points: jnp.ndarray, metadata: jnp.ndarray,
                extra: Dict[str, Any], return_jacobian: bool = False,
@@ -291,14 +289,11 @@ class SE3Field(nn.Module, _MetadataEncoderMixin):
         max_freq_log2=self.max_freq_log2, use_identity=self.use_identity_map,
         alpha=extra.get('alpha'))
     # Per-ray codes (B, F) align against per-sample points (B, S, 3) by
-    # inserting the sample axis before broadcasting.
+    # inserting the sample axis; the trunk's SplitDense path consumes them
+    # without ever tiling the codes across samples in HBM.
     while metadata_embed.ndim < points.ndim:
       metadata_embed = metadata_embed[..., None, :]
-    metadata_embed = jnp.broadcast_to(
-        metadata_embed,
-        points.shape[:-1] + (self.num_embedding_features,))
-    inputs = jnp.concatenate([points_embed, metadata_embed], axis=-1)
-    trunk_output = self.trunk(inputs)
+    trunk_output = self.trunk([points_embed, metadata_embed])
 
     # Screw-axis math stays float32 regardless of the MLP compute dtype,
     # and uses the RAW-twist exponential: the reference's w/|w|
