@@ -103,7 +103,7 @@ def largest_model_dir(sparse_dir) -> Path:
 
   from nerfies_tpu.colmap import SceneManager
   def num_images(d):
-    return len(SceneManager(d).load().image_dict)
+    return len(SceneManager(d).load().images)
   return max(candidates, key=num_images)
 
 

@@ -564,7 +564,10 @@ class DataSource(abc.ABC):
       depth = self.load_depth(item_id)
       if depth is not None:
         if scale_factor != 1.0:
-          depth = image_utils.rescale_image(depth, scale_factor)
+          # Nearest, not bilinear: interpolating across the invalid-depth
+          # (0) boundary manufactures small positive depths that defeat
+          # eval's `depth > 0` validity mask.
+          depth = image_utils.rescale_depth_image(depth, scale_factor)
         data['depth'] = depth[..., np.newaxis]
     return data
 

@@ -116,7 +116,8 @@ def write_synthetic_dataset(data_dir,
         depth_dir = data_dir / 'depth' / f'{scale}x'
         depth_dir.mkdir(parents=True, exist_ok=True)
         scaled_depth = (depth if scale == 1
-                        else image_utils.rescale_image(depth, 1.0 / scale))
+                        else image_utils.rescale_depth_image(
+                            depth, 1.0 / scale))
         image_utils.save_depth(depth_dir / f'{item_id}.png', scaled_depth)
 
     # Validation frames reuse train metadata ids (as in the vrig setup,

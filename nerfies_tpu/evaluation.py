@@ -50,14 +50,14 @@ def make_render_fn(model, mesh, use_warp: bool = True) -> Callable:
                    in_shardings=(repl, data_sharding, repl, repl),
                    out_shardings=repl)
 
-  def chunked_model(params, rays_chunked, warp_extra, rng):
+  def chunked_model(params, rays_chunked, warp_extra, rng, ret_key=None):
     num_chunks = jax.tree.leaves(rays_chunked)[0].shape[0]
 
     def body(args):
       idx, chunk_rays = args
       out = apply_model(params, chunk_rays, warp_extra,
                         jax.random.fold_in(rng, idx))
-      level = 'fine' if 'fine' in out else 'coarse'
+      level = ret_key or ('fine' if 'fine' in out else 'coarse')
       return out[level]
 
     return lax.map(body, (jnp.arange(num_chunks), rays_chunked))
@@ -65,7 +65,8 @@ def make_render_fn(model, mesh, use_warp: bool = True) -> Callable:
   jitted_chunked = jax.jit(
       chunked_model,
       in_shardings=(repl, chunked_sharding, repl, repl),
-      out_shardings=repl)
+      out_shardings=repl,
+      static_argnums=(4,))
 
   def run(params, rays_dict, warp_extra, rng=None):
     if rng is None:
@@ -129,6 +130,11 @@ def render_image(
       # Chunks are sharded on their inner (ray) axis across all devices;
       # each host contributes its contiguous slice of that axis (parity
       # with the reference's per-host image rows, evaluation.py:81-84).
+      if chunk % jax.process_count() != 0:
+        raise ValueError(
+            f'Render chunk size {chunk} must be divisible by the process '
+            f'count {jax.process_count()}; otherwise rays are silently '
+            f'dropped from every chunk.')
       per_host = chunk // jax.process_count()
       lo = jax.process_index() * per_host
       rays_chunked = jax.tree.map(
@@ -137,9 +143,10 @@ def render_image(
           rays_chunked)
     else:
       rays_chunked = jax.device_put(rays_chunked, model_fn.chunked_sharding)
-    out = chunked_fn(state.params, rays_chunked, state.warp_extra, rng)
     if default_ret_key:
       assert default_ret_key in ('fine', 'coarse')
+    out = chunked_fn(state.params, rays_chunked, state.warp_extra, rng,
+                     default_ret_key)
     out = jax.device_get(out)
     out = jax.tree.map(
         lambda x: x.reshape((num_chunks * chunk, *x.shape[2:]))[:num_rays],

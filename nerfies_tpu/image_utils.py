@@ -79,6 +79,27 @@ def rescale_image(image: np.ndarray, scale_factor: float) -> np.ndarray:
   return reshape_image(image, (out_height, out_width))
 
 
+def rescale_depth_image(depth: np.ndarray,
+                        scale_factor: float) -> np.ndarray:
+  """Rescales a depth map with nearest-neighbor sampling.
+
+  Bilinear/area filters blend invalid (0) pixels with valid depths at
+  silhouette boundaries, producing small nonzero depths that pass the
+  `depth > 0` validity mask downstream and bias depth metrics; nearest
+  keeps every output pixel an actual input depth.
+  """
+  scale_factor = float(scale_factor)
+  if scale_factor <= 0.0:
+    raise ValueError('scale_factor must be a non-negative number.')
+  if scale_factor == 1.0:
+    return depth
+  height, width = depth.shape[:2]
+  out_height = math.ceil(height * scale_factor)
+  out_width = math.ceil(width * scale_factor)
+  return cv2.resize(depth, (out_width, out_height),
+                    interpolation=cv2.INTER_NEAREST)
+
+
 def variance_of_laplacian(image: np.ndarray) -> float:
   """Blur metric: variance of the Laplacian response."""
   return cv2.Laplacian(image_to_uint8(image), cv2.CV_64F).var()

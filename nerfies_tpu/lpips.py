@@ -30,13 +30,18 @@ import numpy as np
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
-# AlexNet feature stack: (out_channels, kernel, stride, max_pool_before).
+# AlexNet feature stack:
+# (out_channels, kernel, stride, max_pool_before, padding).
+# Padding is the torch AlexNet's explicit per-layer value — NOT 'SAME':
+# conv1 (k=11, s=4) pads 2 on each side where SAME would pad 3/4, which
+# shifts the feature grid and changes output sizes; calibrated weights
+# only reproduce official LPIPS numbers with the torch padding.
 _ALEX_LAYERS = (
-    (64, 11, 4, False),
-    (192, 5, 1, True),
-    (384, 3, 1, True),
-    (256, 3, 1, False),
-    (256, 3, 1, False),
+    (64, 11, 4, False, 2),
+    (192, 5, 1, True, 2),
+    (384, 3, 1, True, 1),
+    (256, 3, 1, False, 1),
+    (256, 3, 1, False, 1),
 )
 
 
@@ -45,7 +50,7 @@ def init_random_params(seed: int = 0) -> Dict[str, np.ndarray]:
   rng = np.random.RandomState(seed)
   params = {}
   in_ch = 3
-  for i, (out_ch, k, _, _) in enumerate(_ALEX_LAYERS):
+  for i, (out_ch, k, _, _, _) in enumerate(_ALEX_LAYERS):
     fan_in = in_ch * k * k
     params[f'conv{i}_w'] = rng.normal(
         0.0, np.sqrt(2.0 / fan_in), (k, k, in_ch, out_ch)).astype(
@@ -101,13 +106,13 @@ def _extract_features(params, image: jnp.ndarray) -> Sequence[jnp.ndarray]:
   x = 2.0 * image - 1.0
   x = (x - _SHIFT) / _SCALE
   feats = []
-  for i, (_, _, stride, pool_before) in enumerate(_ALEX_LAYERS):
+  for i, (_, _, stride, pool_before, pad) in enumerate(_ALEX_LAYERS):
     if pool_before:
       x = jax.lax.reduce_window(
           x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), 'VALID')
     x = jax.lax.conv_general_dilated(
         x, jnp.asarray(params[f'conv{i}_w']),
-        window_strides=(stride, stride), padding='SAME',
+        window_strides=(stride, stride), padding=((pad, pad), (pad, pad)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     x = jax.nn.relu(x + jnp.asarray(params[f'conv{i}_b']))
     feats.append(x)

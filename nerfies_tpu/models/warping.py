@@ -235,6 +235,18 @@ class SE3Field(nn.Module, _MetadataEncoderMixin):
 
   use_pivot: bool = False
   use_translation: bool = False
+  # Fuse the depth-0 w/v branch heads into ONE (width, 6) matmul: the two
+  # (width, 3) heads read the same trunk output, and each 3-wide matmul
+  # pads to a full 128-lane MXU tile — fusing halves the number of
+  # padded head matmuls in the primal AND in each of the 3 Jacobian
+  # tangent passes. Identical math: the fused kernel's first 3 columns
+  # are w, the next 3 are v, each initialized with its own initializer.
+  fuse_branch_heads: bool = True
+
+  @property
+  def _fused_heads(self) -> bool:
+    return (self.fuse_branch_heads and self.rotation_depth == 0
+            and self.pivot_depth == 0)
 
   def setup(self):
     self._setup_metadata_encoder()
@@ -246,24 +258,41 @@ class SE3Field(nn.Module, _MetadataEncoderMixin):
         skips=self.skips,
         dtype=self.dtype)
 
-    branches = {
-        'w': modules.MLP(
-            depth=self.rotation_depth,
-            width=self.rotation_width,
-            hidden_activation=self.activation,
-            hidden_init=self.default_init,
-            output_init=self.rotation_init,
-            output_channels=3,
-            dtype=self.dtype),
-        'v': modules.MLP(
-            depth=self.pivot_depth,
-            width=self.pivot_width,
-            hidden_activation=self.activation,
-            hidden_init=self.default_init,
-            output_init=self.pivot_init,
-            output_channels=3,
-            dtype=self.dtype),
-    }
+    branches = {}
+    if self._fused_heads:
+      rot_init, piv_init = self.rotation_init, self.pivot_init
+
+      def wv_init(key, shape):
+        key_w, key_v = jax.random.split(key)
+        return jnp.concatenate(
+            [rot_init(key_w, (shape[0], 3)), piv_init(key_v, (shape[0], 3))],
+            axis=-1)
+
+      branches['wv'] = modules.MLP(
+          depth=0,
+          width=self.rotation_width,
+          hidden_activation=self.activation,
+          hidden_init=self.default_init,
+          output_init=wv_init,
+          output_channels=6,
+          dtype=self.dtype)
+    else:
+      branches['w'] = modules.MLP(
+          depth=self.rotation_depth,
+          width=self.rotation_width,
+          hidden_activation=self.activation,
+          hidden_init=self.default_init,
+          output_init=self.rotation_init,
+          output_channels=3,
+          dtype=self.dtype)
+      branches['v'] = modules.MLP(
+          depth=self.pivot_depth,
+          width=self.pivot_width,
+          hidden_activation=self.activation,
+          hidden_init=self.default_init,
+          output_init=self.pivot_init,
+          output_channels=3,
+          dtype=self.dtype)
     if self.use_pivot:
       branches['p'] = modules.MLP(
           depth=self.pivot_depth,
@@ -303,8 +332,12 @@ class SE3Field(nn.Module, _MetadataEncoderMixin):
     # through the gradient. `se3_apply_raw` is exactly equal for
     # |w| > 0 and exactly the v-translation with finite gradients at
     # w = 0.
-    w = self.branches['w'](trunk_output).astype(jnp.float32)
-    v = self.branches['v'](trunk_output).astype(jnp.float32)
+    if self._fused_heads:
+      wv = self.branches['wv'](trunk_output).astype(jnp.float32)
+      w, v = wv[..., :3], wv[..., 3:]
+    else:
+      w = self.branches['w'](trunk_output).astype(jnp.float32)
+      v = self.branches['v'](trunk_output).astype(jnp.float32)
 
     warped_points = points.astype(jnp.float32)
     if self.use_pivot:

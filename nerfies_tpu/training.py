@@ -182,21 +182,58 @@ def train_step(model,
   """
   rng_key, fine_key, coarse_key, reg_key = random.split(rng_key, 4)
 
-  def _compute_loss_and_stats(model_out, level_uses_elastic):
+  def _median_jacobian(params, model_out):
+    """Gather-then-linearize: Jacobians ONLY at median-depth samples.
+
+    In 'median' reduce mode only one sample per ray contributes to the
+    elastic loss, so instead of materializing the (3, 3, B, S) Jacobian
+    through 3 tangent passes over every sample (then discarding S-1 of
+    S columns), gather each ray's median-depth point FIRST and linearize
+    the warp on the (B, 1, 3) gathered set — an S-fold reduction of the
+    Jacobian workload. Mathematically identical: the warp is pointwise
+    and the coarse sample points carry no parameter dependence, so
+    re-applying the (shared-parameter) warp field at the gathered points
+    yields exactly the Jacobian columns the dense path would have
+    selected.
+    """
+    weights = lax.stop_gradient(model_out['weights'])
+    depth_indices = rendering.compute_depth_index(weights)
+    points = model_out['points']  # (B, S, 3) pre-warp sample points
+    median_points = jnp.take_along_axis(
+        points, depth_indices[:, None, None], axis=-2)  # (B, 1, 3)
+    warp_metadata = (
+        batch['metadata']['time']
+        if model.warp_metadata_encoder_type == 'time'
+        else batch['metadata']['warp'])
+    warp_out = model.apply({'params': params}, median_points, warp_metadata,
+                           state.warp_extra, True, False,
+                           method=model.apply_warp)
+    return warp_out['jacobian']  # (3, 3, B, 1)
+
+  def _compute_loss_and_stats(params, model_out, level_uses_elastic):
     rgb_loss = ((model_out['rgb'] - batch['rgb'][..., :3]) ** 2).mean()
     stats = {'loss/rgb': rgb_loss}
     loss = rgb_loss
+    stats_jacobian = model_out.get('warp_jacobian')
     if level_uses_elastic:
-      weights = lax.stop_gradient(model_out['weights'])
-      jacobian = model_out['warp_jacobian']
       if elastic_reduce_method == 'median':
-        # jacobian is (3, 3, B, S); pick the median-depth sample per ray.
-        depth_indices = rendering.compute_depth_index(weights)
-        jacobian = jnp.take_along_axis(
-            jacobian, depth_indices[None, None, :, None], axis=-1)
+        if 'warp_jacobian' in model_out:
+          # Dense path (model already computed all-sample Jacobians):
+          # pick the median-depth column per ray.
+          weights = lax.stop_gradient(model_out['weights'])
+          depth_indices = rendering.compute_depth_index(weights)
+          jacobian = jnp.take_along_axis(
+              model_out['warp_jacobian'],
+              depth_indices[None, None, :, None], axis=-1)
+        else:
+          jacobian = _median_jacobian(params, model_out)
+          stats_jacobian = jacobian
+      else:
+        jacobian = model_out['warp_jacobian']
       elastic_loss, elastic_residual = compute_elastic_loss(
           jacobian, loss_type=elastic_loss_type)
       if elastic_reduce_method == 'weight':
+        weights = lax.stop_gradient(model_out['weights'])
         elastic_loss = weights * elastic_loss
       elastic_loss = elastic_loss.sum(axis=-1).mean()
       stats['loss/elastic'] = elastic_loss
@@ -219,23 +256,27 @@ def train_step(model,
           mathutils.safe_sqrt(warp_reg_residual))
       loss = loss + scalar_params.warp_reg_loss_weight * warp_reg_loss
 
-    if 'warp_jacobian' in model_out:
-      jacobian = model_out['warp_jacobian']
-      stats['metric/jacobian_det'] = jnp.mean(svd3.det3(jacobian))
+    if stats_jacobian is not None:
+      # In gathered-median mode these diagnostics cover the median-depth
+      # samples (the ones the loss sees) rather than all S samples.
+      stats['metric/jacobian_det'] = jnp.mean(svd3.det3(stats_jacobian))
       stats['metric/jacobian_div'] = jnp.mean(
-          mathutils.jacobian_to_div(jacobian))
+          mathutils.jacobian_to_div(stats_jacobian))
       stats['metric/jacobian_curl'] = jnp.mean(
-          jnp.linalg.norm(mathutils.jacobian_to_curl(jacobian), axis=0))
+          jnp.linalg.norm(mathutils.jacobian_to_curl(stats_jacobian),
+                          axis=0))
 
     stats['loss/total'] = loss
     stats['metric/psnr'] = mathutils.compute_psnr(rgb_loss)
     return loss, stats
 
   def _loss_fn(params):
+    need_points = use_warp_reg_loss or (
+        use_elastic_loss and elastic_reduce_method == 'median')
     ret = model.apply({'params': params},
                       batch,
                       warp_extra=state.warp_extra,
-                      return_points=use_warp_reg_loss,
+                      return_points=need_points,
                       return_weights=use_warp_reg_loss or use_elastic_loss,
                       rngs={'fine': fine_key, 'coarse': coarse_key})
 
@@ -243,10 +284,10 @@ def train_step(model,
     stats = {}
     if 'fine' in ret:
       losses['fine'], stats['fine'] = _compute_loss_and_stats(
-          ret['fine'], level_uses_elastic=False)
+          params, ret['fine'], level_uses_elastic=False)
     if 'coarse' in ret:
       losses['coarse'], stats['coarse'] = _compute_loss_and_stats(
-          ret['coarse'], level_uses_elastic=use_elastic_loss)
+          params, ret['coarse'], level_uses_elastic=use_elastic_loss)
 
     if use_background_loss:
       background_loss = compute_background_loss(

@@ -295,3 +295,18 @@ def test_add_inlier_matches(tmp_path):
   (pair_id, config), = rows.fetchall()
   assert config == 2
   db.close()
+
+
+def test_largest_model_dir_multi_model(tmp_path):
+  """COLMAP fragmenting into sparse/0, sparse/1: pick the biggest model."""
+  from nerfies_tpu.colmap import runner
+  big = _build_scene()  # 3 images
+  small = _build_scene().delete_images([2, 3])  # 1 image
+  sparse = tmp_path / 'sparse'
+  small.save(sparse / '0', binary=True)
+  big.save(sparse / '1', binary=True)
+  assert runner.largest_model_dir(sparse) == sparse / '1'
+  # Single model: returned without loading.
+  single = tmp_path / 'single'
+  big.save(single / '0', binary=True)
+  assert runner.largest_model_dir(single) == single / '0'

@@ -89,7 +89,8 @@ def test_elastic_loss_grad_finite():
       jax.random.PRNGKey(1), (8, 3, 3)))
   g = jax.grad(f)(J)
   assert np.isfinite(np.asarray(g)).all()
-  g_id = jax.grad(f)(jnp.broadcast_to(jnp.eye(3), (4, 3, 3)))
+  # Leading (3, 3, batch) layout: identity Jacobians for a batch of 4.
+  g_id = jax.grad(f)(jnp.broadcast_to(jnp.eye(3)[..., None], (3, 3, 4)))
   assert np.isfinite(np.asarray(g_id)).all()
 
 
@@ -149,6 +150,52 @@ def test_train_step_with_all_losses():
   diff = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
                       state.params, new_state.params)
   assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_median_elastic_gather_equals_dense():
+  """Gathered-median Jacobians (training._median_jacobian) must reproduce
+  the dense all-sample path: same losses, same parameter updates."""
+  # Model A: dense path (model materializes all-sample Jacobians).
+  model_a, params = _tiny_setup()
+  # Model B: gather path (no in-model Jacobian; train_step linearizes at
+  # the gathered median-depth points). Same init seed -> same params.
+  config = configs.ModelConfig(
+      num_coarse_samples=4, num_fine_samples=4, nerf_trunk_depth=2,
+      nerf_trunk_width=16, nerf_rgb_branch_depth=1, nerf_rgb_branch_width=8,
+      nerf_skips=(1,), num_nerf_point_freqs=2, num_nerf_viewdir_freqs=1,
+      num_warp_freqs=2, use_warp=True, warp_field_type='se3',
+      warp_kwargs={'trunk_depth': 2, 'trunk_width': 8},
+      sigma_activation=nn.softplus)
+  model_b, params_b = nerf.construct_nerf(
+      jax.random.PRNGKey(0), config, batch_size=16,
+      appearance_ids=(0, 1), camera_ids=(0,), warp_ids=(0, 1),
+      near=0.5, far=3.0, use_warp_jacobian=False, use_weights=True)
+  jax.tree.map(np.testing.assert_array_equal, params, params_b)
+
+  batch = jax.tree.map(jnp.asarray, _fake_batch())
+  scalar_params = training.ScalarParams(
+      learning_rate=1e-3, elastic_loss_weight=0.01)
+  rng = jax.random.PRNGKey(0)
+
+  outs = []
+  for model in (model_a, model_b):
+    state = training.create_train_state(params, warp_alpha=2.0)
+    new_state, stats, _ = training.train_step(
+        model, rng, state, batch, scalar_params,
+        use_elastic_loss=True, elastic_reduce_method='median')
+    outs.append((new_state, stats))
+
+  (state_a, stats_a), (state_b, stats_b) = outs
+  np.testing.assert_allclose(
+      float(stats_a['coarse']['loss/elastic']),
+      float(stats_b['coarse']['loss/elastic']), rtol=1e-5)
+  np.testing.assert_allclose(
+      float(stats_a['coarse']['loss/total']),
+      float(stats_b['coarse']['loss/total']), rtol=1e-5)
+  jax.tree.map(
+      lambda a, b: np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7),
+      state_a.params, state_b.params)
 
 
 def test_compiled_train_step_on_mesh():

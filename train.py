@@ -180,7 +180,12 @@ def main(argv):
       warp_ids=datasource.warp_ids,
       near=datasource.near,
       far=datasource.far,
-      use_warp_jacobian=train_config.use_elastic_loss,
+      # 'median' reduce mode gathers each ray's median-depth point and
+      # linearizes the warp on the gathered set inside the train step
+      # (training._median_jacobian) — S-fold less Jacobian work than
+      # materializing all-sample Jacobians in the forward pass.
+      use_warp_jacobian=(train_config.use_elastic_loss
+                         and train_config.elastic_reduce_method != 'median'),
       use_weights=train_config.use_elastic_loss)
 
   state = training.create_train_state(
