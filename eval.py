@@ -278,6 +278,10 @@ def main(argv):
 
   rng = random.PRNGKey(exp_config.random_seed)
   rng, key = random.split(rng)
+  if eval_config.num_coarse_samples is not None:
+    model_config.num_coarse_samples = eval_config.num_coarse_samples
+  if eval_config.num_fine_samples is not None:
+    model_config.num_fine_samples = eval_config.num_fine_samples
   model, params = models.construct_nerf(
       key,
       model_config,

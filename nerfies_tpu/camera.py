@@ -11,6 +11,15 @@ scale/crop/look_at). Two compute paths are provided:
     reference numpy camera hot path and its TFCamera twin
     (/root/reference/nerfies/tf_camera.py:108-233) -- there is no tf.data
     graph to mirror into.
+
+Provenance note: the OpenCV distortion residual/Jacobian math and the
+geometric `project` / `scale` / `look_at` / `crop_image_domain` methods
+follow the reference implementation closely (reference
+camera.py:26-105,284-426) -- the formulas are the standard OpenCV camera
+model and the JSON serialization is a parity contract, so those ~150
+lines are transcription-grade rather than a redesign. The rebuild's own
+contributions here are the fused residual helper, the batched jnp/jit
+device path above, and `ray_parameters`.
 """
 
 import copy

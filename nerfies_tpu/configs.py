@@ -176,3 +176,12 @@ class EvalConfig:
   # as `lpips_uncal` instead of `lpips` (see nerfies_tpu/lpips.py).
   compute_lpips: bool = True
   lpips_weights: Optional[str] = None
+
+  # Fast-render preset: override the per-ray sample counts at eval time
+  # (parameters are sample-count independent, so the trained weights
+  # render at any sampling rate). None = use the training sample counts.
+  # Halving both counts roughly doubles render throughput; the measured
+  # quality delta on the synthetic benchmark scene is documented in
+  # docs/PERFORMANCE.md.
+  num_coarse_samples: Optional[int] = None
+  num_fine_samples: Optional[int] = None

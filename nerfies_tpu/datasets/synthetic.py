@@ -21,8 +21,14 @@ def render_sphere_image(camera: cam.Camera,
                         sphere_center=(0.0, 0.0, 0.0),
                         sphere_radius: float = 0.5,
                         background: float = 1.0,
+                        texture_frequency: float = 0.0,
                         return_depth: bool = False) -> np.ndarray:
   """Analytically renders a normal-shaded sphere seen by `camera`.
+
+  `texture_frequency > 0` modulates the shading with a smooth
+  multi-band procedural pattern tied to the surface normal (it deforms
+  rigidly with the sphere), giving the quality benchmark high-frequency
+  detail to actually resolve; 0 keeps the plain normal-shaded sphere.
 
   With `return_depth`, also returns the ray-distance depth map (0 where
   the ray misses the sphere, matching eval's valid-depth convention).
@@ -42,6 +48,13 @@ def render_sphere_image(camera: cam.Camera,
   points = origins + t[..., None] * rays
   normals = (points - center) / sphere_radius
   color = 0.5 * (normals + 1.0)
+  if texture_frequency > 0.0:
+    k = texture_frequency
+    pattern = (np.sin(k * normals[..., 0]) * np.sin(k * normals[..., 1])
+               + np.sin(k * normals[..., 2])
+               + 0.5 * np.sin(2.3 * k * normals[..., 0])
+               * np.sin(1.7 * k * normals[..., 2]))
+    color = color * (0.65 + 0.35 * np.tanh(pattern))[..., None]
   image = np.full(rays.shape, background, np.float32)
   image[hit] = color[hit]
   image = np.clip(image, 0.0, 1.0)
@@ -70,6 +83,7 @@ def write_synthetic_dataset(data_dir,
                             image_size=(64, 48),
                             image_scales=(1,),
                             motion_amplitude: float = 0.0,
+                            texture_frequency: float = 0.0,
                             num_points: int = 256,
                             write_depth: bool = False,
                             seed: int = 0) -> Path:
@@ -82,6 +96,8 @@ def write_synthetic_dataset(data_dir,
     image_scales: which rgb/{s}x pyramids to write.
     motion_amplitude: per-frame sphere translation amplitude (gives the
       warp field something to learn; 0 = static scene).
+    texture_frequency: procedural surface-texture frequency (see
+      `render_sphere_image`); 0 = plain shading.
     num_points: background points written to points.npy.
     seed: rng seed for the background points.
 
@@ -104,6 +120,7 @@ def write_synthetic_dataset(data_dir,
     offset = motion_amplitude * np.sin(phase)
     image, depth = render_sphere_image(camera,
                                        sphere_center=(offset, 0.0, 0.0),
+                                       texture_frequency=texture_frequency,
                                        return_depth=True)
     for scale in image_scales:
       rgb_dir = data_dir / 'rgb' / f'{scale}x'

@@ -119,11 +119,17 @@ def parallel_map(f, iterable, max_threads=None, show_pbar=False, **kwargs):
 
 
 def strided_subset(sequence, count):
-  """Every k-th element so that ~count remain."""
-  if count:
-    stride = max(1, len(sequence) // count)
-    return sequence[::stride]
-  return sequence
+  """Every k-th element so that ~count remain.
+
+  count=None keeps everything (reference eval.py semantics); count=0
+  selects nothing.
+  """
+  if count is None:
+    return sequence
+  if count == 0:
+    return type(sequence)()
+  stride = max(1, len(sequence) // count)
+  return sequence[::stride]
 
 
 def tree_collate(list_of_pytrees):

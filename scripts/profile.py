@@ -51,6 +51,13 @@ def run_step(args):
   from nerfies_tpu.parallel import mesh as mesh_lib
 
   model_config = B.model_config(use_bfloat16=args.bfloat16)
+  if args.preset == 'fullhd':
+    # configs/gpu_fullhd.gin: 256+256 samples, 10 point freqs, batch 4096.
+    model_config.num_coarse_samples = 256
+    model_config.num_fine_samples = 256
+    model_config.num_nerf_point_freqs = 10
+    if args.batch_size == 6144:
+      args.batch_size = 4096
   if args.warp_kwargs:
     kwargs = dict(model_config.warp_kwargs)
     for pair in args.warp_kwargs.split(','):
@@ -245,6 +252,8 @@ def main():
 
   p_step = sub.add_parser('step')
   p_step.add_argument('--batch_size', type=int, default=6144)
+  p_step.add_argument('--preset', choices=['quarterhd', 'fullhd'],
+                      default='quarterhd')
   p_step.add_argument('--steps', type=int, default=10)
   p_step.add_argument('--elastic', choices=['weight', 'median', 'off'],
                       default='weight')

@@ -1,0 +1,180 @@
+"""Converged-quality benchmark: train N steps on the textured synthetic
+scene (real TPU or CPU mesh) and record the PSNR / MS-SSIM curve.
+
+Produces docs/quality_curve.json — the reproducible "quality at N steps"
+number that future rounds must not regress (see also the regression
+floor asserted by tests/test_end_to_end.py's slow marker and the curve
+table in docs/PERFORMANCE.md).
+
+Usage (TPU, ~20k steps):
+  python scripts/quality_bench.py --steps 20000 --eval_every 2000
+
+The workload mirrors configs/tpu_quarterhd.gin semantics (SE(3) warp +
+elastic 'weight' + background loss, bf16 matmuls, batch 6144,
+128+128 samples) on a 256x192 textured, moving synthetic capture.
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import jax
+import numpy as np
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_tpu_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--steps', type=int, default=20000)
+  parser.add_argument('--eval_every', type=int, default=2000)
+  parser.add_argument('--batch_size', type=int, default=6144)
+  parser.add_argument('--scene_dir', default='/tmp/quality_scene')
+  parser.add_argument('--image_size', type=int, nargs=2,
+                      default=(256, 192))
+  parser.add_argument('--out', default='docs/quality_curve.json')
+  parser.add_argument('--num_train', type=int, default=16)
+  args = parser.parse_args()
+
+  import bench as B
+  from nerfies_tpu import configs
+  from nerfies_tpu import datasets
+  from nerfies_tpu import evaluation
+  from nerfies_tpu import image_utils
+  from nerfies_tpu import schedules
+  from nerfies_tpu import training
+  from nerfies_tpu.datasets import core as datasets_core
+  from nerfies_tpu.datasets import synthetic
+  from nerfies_tpu.models import nerf
+  from nerfies_tpu.ops import ssim as metrics_ops
+  from nerfies_tpu.parallel import mesh as mesh_lib
+
+  scene = pathlib.Path(args.scene_dir)
+  if not (scene / 'dataset.json').exists():
+    synthetic.write_synthetic_dataset(
+        scene, num_train=args.num_train, num_val=2,
+        image_size=tuple(args.image_size), motion_amplitude=0.08,
+        texture_frequency=9.0, num_points=16384)
+    print('scene written', flush=True)
+
+  datasource = datasets.from_config(
+      {'type': 'nerfies', 'data_dir': str(scene)},
+      image_scale=1, use_appearance_id=True, use_camera_id=True,
+      use_warp_id=True, random_seed=0)
+
+  model_config = B.model_config(use_bfloat16=True)
+  train_config = configs.TrainConfig(
+      batch_size=args.batch_size,
+      use_elastic_loss=True,
+      elastic_reduce_method='weight',
+      elastic_loss_type='log_svals',
+      use_background_loss=True)
+  model, params = nerf.construct_nerf(
+      jax.random.PRNGKey(0), model_config, batch_size=args.batch_size,
+      appearance_ids=datasource.appearance_ids,
+      camera_ids=datasource.camera_ids,
+      warp_ids=datasource.warp_ids,
+      near=datasource.near, far=datasource.far,
+      use_warp_jacobian=True, use_weights=True)
+
+  mesh = mesh_lib.create_mesh()
+  step_fn = training.compile_train_step(model, train_config, mesh)
+  state = jax.device_put(
+      training.create_train_state(params),
+      mesh_lib.replicated_sharding(mesh))
+
+  # Schedules as in the gpu_quarterhd family.
+  lr_sched = schedules.from_config(
+      ('exponential', 1e-3, 1e-4, args.steps))
+  warp_alpha_sched = schedules.from_config(
+      ('linear', 0.0, model_config.num_warp_freqs, min(args.steps, 80000)))
+  elastic_sched = schedules.from_config(('constant', 1e-3))
+
+  train_iter = datasource.create_iterator(
+      datasource.train_ids, flatten=True, shuffle=True,
+      batch_size=args.batch_size, prefetch_size=3)
+  points = datasource.load_points(shuffle=True)
+  points_iter = datasets_core.iterator_from_arrays(
+      points, batch_size=min(len(points), 16384), shuffle=True, seed=0,
+      prefetch_size=3)
+
+  eval_model, _ = nerf.construct_nerf(
+      jax.random.PRNGKey(0),
+      B.model_config(use_bfloat16=True, use_stratified_sampling=False),
+      batch_size=8192,
+      appearance_ids=datasource.appearance_ids,
+      camera_ids=datasource.camera_ids,
+      warp_ids=datasource.warp_ids,
+      near=datasource.near, far=datasource.far)
+  render_fn = evaluation.make_render_fn(eval_model, mesh)
+  val_id = datasource.val_ids[0]
+  val_item = next(iter(datasource.create_iterator(
+      [val_id], batch_size=0, repeat=False)))
+  val_rays = {'origins': val_item['origins'],
+              'directions': val_item['directions'],
+              'metadata': val_item['metadata']}
+  val_rgb = val_item['rgb']
+
+  def eval_psnr(state):
+    out = evaluation.render_image(state, val_rays, render_fn, chunk=8192)
+    pred = np.clip(out['rgb'], 0, 1)
+    mse = float(np.mean((pred - val_rgb) ** 2))
+    psnr = -10.0 * np.log10(mse)
+    # Renormalize the MS-SSIM power weights to the feasible scale count
+    # (tiny smoke images can't fit all 5 dyadic scales).
+    num_scales = metrics_ops.max_feasible_scales(*pred.shape[:2])
+    weights = metrics_ops.MSSSIM_WEIGHTS[:num_scales]
+    weights = tuple(w / sum(weights) for w in weights)
+    ssim = float(metrics_ops.multiscale_ssim(
+        jax.numpy.asarray(pred), jax.numpy.asarray(val_rgb),
+        weights=weights)) if num_scales else float('nan')
+    return psnr, ssim, out
+
+  rng = jax.random.PRNGKey(1)
+  curve = []
+  t_start = time.time()
+  stats = None
+  for step in range(1, args.steps + 1):
+    batch = next(train_iter)
+    batch['background_points'] = next(points_iter)
+    sp = training.ScalarParams(
+        learning_rate=lr_sched(step),
+        elastic_loss_weight=elastic_sched(step),
+        background_loss_weight=1.0)
+    state = state.replace(warp_alpha=jax.numpy.asarray(
+        warp_alpha_sched(step), jax.numpy.float32))
+    state, stats, _ = step_fn(jax.random.fold_in(rng, step), state,
+                              batch, sp)
+    if step % args.eval_every == 0 or step == args.steps:
+      loss = float(jax.device_get(stats['fine']['loss/rgb']))
+      if not np.isfinite(loss):
+        print(f'step {step}: NON-FINITE loss {loss}', flush=True)
+        sys.exit(1)
+      psnr, ssim, out = eval_psnr(state)
+      wall = time.time() - t_start
+      curve.append({'step': step, 'val_psnr': round(psnr, 3),
+                    'val_ms_ssim': round(ssim, 4),
+                    'train_loss': round(loss, 6),
+                    'wall_s': round(wall, 1)})
+      print(json.dumps(curve[-1]), flush=True)
+
+  result = {
+      'workload': 'quarter-HD-class synthetic (textured, moving sphere)',
+      'image_size': list(args.image_size),
+      'batch_size': args.batch_size,
+      'steps': args.steps,
+      'device': jax.devices()[0].device_kind,
+      'curve': curve,
+  }
+  out_path = pathlib.Path(args.out)
+  out_path.write_text(json.dumps(result, indent=2))
+  print(f'wrote {out_path}', flush=True)
+
+
+if __name__ == '__main__':
+  main()

@@ -223,6 +223,46 @@ def test_quaternion_ops_match_reference():
       atol=1e-6)
 
 
+def test_nearest_rotation_elastic_matches_reference():
+  """'nr' elastic parity on orientation-preserving AND -reversing
+  Jacobians, plus the documented divergence: the reference's
+  `nearest_rotation_svd` (reference training.py:57-68, TODO 'produces
+  NaNs') has NaN GRADIENTS at pure-rotation Jacobians — all singular
+  values equal, where jnp.linalg.svd's VJP divides by (s_i^2 - s_j^2).
+  Warp fields near init produce exactly such (near-identity) Jacobians,
+  which is why the reference's own loss breaks in training. The
+  rebuild's closed-form `svd3.nearest_rotation` stays finite there."""
+  rng = np.random.RandomState(6)
+  jac = (np.eye(3) + 0.3 * rng.randn(16, 3, 3)).astype(np.float32)
+  flipped = jac.copy()
+  flipped[:, :, 0] *= -1.0  # det < 0: exercises the UV^T flip handling
+  for matrices in (jac, flipped):
+    loss_ref, res_ref = jax.vmap(
+        lambda j: ref_training.compute_elastic_loss(j, loss_type='nr'))(
+            jnp.asarray(matrices))
+    loss_got, res_got = training.compute_elastic_loss(
+        svd3.from_trailing(jnp.asarray(matrices)), loss_type='nr')
+    np.testing.assert_allclose(np.asarray(loss_got), np.asarray(loss_ref),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_got), np.asarray(res_ref),
+                               rtol=2e-3, atol=1e-4)
+
+  # Pinned divergence: gradient at a pure rotation.
+  theta = 0.3
+  rot = np.asarray([[np.cos(theta), -np.sin(theta), 0.0],
+                    [np.sin(theta), np.cos(theta), 0.0],
+                    [0.0, 0.0, 1.0]], np.float32)
+  grad_ref = jax.grad(
+      lambda j: ref_training.compute_elastic_loss(j, loss_type='nr')[0]
+      .sum())(jnp.asarray(rot))
+  grad_got = jax.grad(
+      lambda j: training.compute_elastic_loss(j, loss_type='nr')[0]
+      .sum())(jnp.asarray(rot)[:, :, None])
+  assert not np.isfinite(np.asarray(grad_ref)).all(), (
+      'reference NaN bug vanished; revisit the divergence note')
+  assert np.isfinite(np.asarray(grad_got)).all()
+
+
 def test_quaternion_log_fixes_reference_bug():
   """Documented intentional divergence: reference quaternion.log is broken.
 

@@ -64,3 +64,99 @@ def test_missing_weight_key_raises(tmp_path):
   np.savez(tmp_path / 'bad.npz', conv0_w=np.zeros((11, 11, 3, 64)))
   with pytest.raises(ValueError, match='missing'):
     lpips.load_params(tmp_path / 'bad.npz')
+
+
+# ---- Calibration-graph enforcement -------------------------------------
+# The official calibrated .npz cannot be vendored in this environment
+# (zero network egress, no local torch/lpips caches), so these tests
+# instead pin the COMPUTATION GRAPH hard enough that dropping in the
+# exporter's .npz reproduces official numbers: feature-map geometry must
+# match torch AlexNet exactly, and the whole forward must agree with an
+# independent from-scratch numpy implementation (catches transposed
+# kernels, wrong padding, off-by-one strides that axiom tests miss).
+
+
+def test_feature_geometry_matches_torch_alexnet(metric):
+  """Spatial sizes per tap for a 64x64 input, from torch's conv arith:
+  conv1 k=11 s=4 p=2 -> 15; pool k=3 s=2 -> 7; conv2 p=2 -> 7;
+  pool -> 3; conv3-5 p=1 -> 3. SAME padding would give 16 at tap 1."""
+  img = _image(0)[None]
+  feats = lpips._extract_features(metric.params, img)
+  shapes = [tuple(f.shape) for f in feats]
+  assert shapes == [
+      (1, 15, 15, 64),
+      (1, 7, 7, 192),
+      (1, 3, 3, 384),
+      (1, 3, 3, 256),
+      (1, 3, 3, 256),
+  ]
+
+
+def _numpy_lpips(params, im1, im2):
+  """Independent numpy re-implementation of the LPIPS graph."""
+
+  def conv2d(x, w, b, stride, pad):
+    x = np.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    kh, kw, cin, cout = w.shape
+    n, h, wdt, _ = x.shape
+    oh = (h - kh) // stride + 1
+    ow = (wdt - kw) // stride + 1
+    out = np.zeros((n, oh, ow, cout), np.float32)
+    for i in range(oh):
+      for j in range(ow):
+        patch = x[:, i * stride:i * stride + kh,
+                  j * stride:j * stride + kw, :]
+        out[:, i, j, :] = np.tensordot(patch, w, axes=([1, 2, 3],
+                                                       [0, 1, 2]))
+    return out + b
+
+  def maxpool(x, k=3, s=2):
+    n, h, w, c = x.shape
+    oh = (h - k) // s + 1
+    ow = (w - k) // s + 1
+    out = np.zeros((n, oh, ow, c), np.float32)
+    for i in range(oh):
+      for j in range(ow):
+        out[:, i, j, :] = x[:, i * s:i * s + k, j * s:j * s + k, :].max(
+            axis=(1, 2))
+    return out
+
+  def feats(img):
+    x = 2.0 * img - 1.0
+    x = (x - lpips._SHIFT) / lpips._SCALE
+    taps = []
+    for i, (_, _, stride, pool_before, pad) in enumerate(lpips._ALEX_LAYERS):
+      if pool_before:
+        x = maxpool(x)
+      x = conv2d(x, np.asarray(params[f'conv{i}_w']),
+                 np.asarray(params[f'conv{i}_b']), stride, pad)
+      x = np.maximum(x, 0.0)
+      taps.append(x)
+    return taps
+
+  total = 0.0
+  for i, (f1, f2) in enumerate(zip(feats(im1), feats(im2))):
+    n1 = f1 / np.maximum(
+        np.sqrt((f1 ** 2).sum(-1, keepdims=True)), 1e-10)
+    n2 = f2 / np.maximum(
+        np.sqrt((f2 ** 2).sum(-1, keepdims=True)), 1e-10)
+    diff = (n1 - n2) ** 2 * np.asarray(params[f'lin{i}_w'])
+    total = total + diff.sum(-1).mean(axis=(1, 2))
+  return total
+
+
+def test_matches_independent_numpy_implementation(metric):
+  a, b = _image(20, 48, 40)[None], _image(21, 48, 40)[None]
+  want = _numpy_lpips(metric.params, a, b)
+  got = np.asarray(lpips.lpips_distance(metric.params, a, b))
+  np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_known_value_regression(metric):
+  """Pins the seed-0 fallback metric's values: any graph change that
+  alters reported numbers must be deliberate and show up here."""
+  d1 = metric(_image(1), _image(2))
+  d2 = metric(_image(3), np.clip(_image(3) + 0.1, 0, 1))
+  # Values recorded at the padding-fixed revision (round 3).
+  assert d1 == pytest.approx(0.0226259, rel=2e-3), d1
+  assert d2 == pytest.approx(0.0021823, rel=2e-3), d2
