@@ -18,10 +18,12 @@ from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
+from nerfies_tpu import fast_render
 from nerfies_tpu.parallel import mesh as mesh_lib
 
 
-def make_render_fn(model, mesh, use_warp: bool = True) -> Callable:
+def make_render_fn(model, mesh, use_warp: bool = True,
+                   fast: str = 'auto') -> Callable:
   """Builds the jitted per-chunk render function.
 
   Returns a callable (params, rays_dict, warp_extra, rng) -> model output
@@ -31,13 +33,28 @@ def make_render_fn(model, mesh, use_warp: bool = True) -> Callable:
   renders EVERY chunk of an image in one dispatch via `lax.map`, where
   `rays_chunked` leaves have shape (num_chunks, chunk, ...). `render_image`
   uses `.chunked` when present.
+
+  `fast='auto'` (default) routes deterministic-sampling models through
+  the fused-kernel serving path (nerfies_tpu/fast_render.py) when the
+  architecture supports it; 'off' always uses `model.apply`. Stratified
+  models always use `model.apply` (the fast path has no rng streams).
   """
   data_sharding = mesh_lib.batch_sharding(mesh)
   chunked_sharding = jax.sharding.NamedSharding(
       mesh, jax.sharding.PartitionSpec(None, mesh_lib.BATCH_AXIS))
   repl = mesh_lib.replicated_sharding(mesh)
 
+  use_fast = (fast == 'auto' and not model.use_stratified_sampling
+              and fast_render.supported(model))
+  # Pallas kernels need the interpreter off-TPU (CPU test meshes).
+  interpret = np.asarray(mesh.devices).flat[0].platform != 'tpu'
+
   def apply_model(params, rays_dict, warp_extra, rng):
+    if use_fast:
+      del rng  # deterministic
+      return fast_render.render_rays(params, rays_dict, warp_extra,
+                                     model, use_warp=use_warp,
+                                     interpret=interpret)
     # Stratified-sampling models need named rngs even at render time
     # (parity with the reference's key_0/key_1 plumbing, eval.py:330-348).
     key_coarse, key_fine = jax.random.split(rng)

@@ -97,6 +97,14 @@ class SplitDense(nn.Module):
   channel axis, and applying one Dense layer -- without materializing the
   broadcast. A single ``(sum C_i, features)`` kernel parameter keeps the
   initializer's fan-in identical to the concat formulation.
+
+  Full-batch operands are flattened to 2-D for the matmul (and the result
+  reshaped back): XLA assigns per-operand layouts for 3-D ``(B, S, C)``
+  dots that run the MXU at 16-29 TF/s on the posenc-fed warp/skip layers
+  (round-2 profile, docs/SCALING.md), while the equivalent
+  ``(B*S, C) @ (C, W)`` 2-D form tiles cleanly; consecutive layers'
+  reshape pairs cancel in XLA, so the hidden chain effectively runs 2-D
+  end to end with the per-ray terms broadcast-added in 3-D.
   """
   features: int
   use_bias: bool = True
@@ -112,10 +120,16 @@ class SplitDense(nn.Module):
     if self.dtype is not None:
       kernel = kernel.astype(self.dtype)
       inputs = [x.astype(self.dtype) for x in inputs]
+    batch_shape = jnp.broadcast_shapes(*[x.shape[:-1] for x in inputs])
     out = None
     offset = 0
     for x, dim in zip(inputs, in_dims):
-      term = x @ kernel[offset:offset + dim]
+      block = kernel[offset:offset + dim]
+      if x.shape[:-1] == batch_shape and x.ndim > 2:
+        term = (x.reshape(-1, dim) @ block).reshape(
+            *batch_shape, self.features)
+      else:
+        term = x @ block
       out = term if out is None else out + term
       offset += dim
     if self.use_bias:

@@ -165,6 +165,96 @@ def run_render(args):
         f'{out["rays_per_sec"]:.0f} rays/s', flush=True)
 
 
+# -------------------------------------------------------------- layout
+
+def run_layout(args):
+  """Micro-bench: posenc -> warp-trunk-like matmul stack, layout variants.
+
+  Isolates the slow (16-29 TF/s in the round-2 profile) warp/skip
+  matmuls: is the cost the posenc producer's layout, the narrow K, or
+  the 3-D dot shape? Times forward+backward of a 6-layer trunk stack.
+  """
+  from nerfies_tpu.ops import encoding
+
+  B, S, W, DEPTH, F, META = args.batch_size, 128, 128, 6, 6, 8
+  pe_dim = 3 + 2 * F * 3
+
+  def stack_fwd(pe, meta, kernels, skips=(4,)):
+    h = None
+    inputs = [pe, meta]
+    ki = 0
+    for i in range(DEPTH):
+      layer_inputs = inputs if h is None else ([h] + inputs if i in skips
+                                               else [h])
+      out = None
+      for x in layer_inputs:
+        k = kernels[ki]; ki += 1
+        out = x @ k if out is None else out + x @ k
+      h = jax.nn.relu(out)
+    return h
+
+  def make_kernels(key, pdim):
+    dims = [(pdim, W), (META, W)]
+    for i in range(1, DEPTH):
+      dims += [(W, W), (pdim, W), (META, W)] if i == 4 else [(W, W)]
+    keys = jax.random.split(key, len(dims))
+    return [jax.random.normal(k, d, jnp.bfloat16) * 0.05
+            for k, d in zip(keys, dims)]
+
+  key = jax.random.PRNGKey(0)
+  pts = jax.random.normal(key, (B, S, 3), jnp.float32)
+  meta = jax.random.normal(key, (B, 1, META), jnp.bfloat16)
+  kernels = make_kernels(key, pe_dim)
+  kernels48 = make_kernels(key, 48)
+
+  def v0(pts, meta, kernels):  # current model shape: posenc -> 3D dots
+    pe = encoding.posenc(pts, num_freqs=F).astype(jnp.bfloat16)
+    return stack_fwd(pe, meta, kernels)
+
+  def v1(pts, meta, kernels):  # flatten samples: 2D dots + per-ray adds
+    pe = encoding.posenc(pts, num_freqs=F).astype(jnp.bfloat16)
+    pe2 = pe.reshape(B * S, pe_dim)
+    h = None
+    ki = 0
+    for i in range(DEPTH):
+      if h is None:
+        out = (pe2 @ kernels[0]).reshape(B, S, W) + meta @ kernels[1]
+        ki = 2
+      elif i == 4:
+        k_h, k_pe, k_meta = kernels[ki:ki + 3]; ki += 3
+        out = ((h.reshape(B * S, W) @ k_h + pe2 @ k_pe)
+               .reshape(B, S, W) + meta @ k_meta)
+      else:
+        k_h = kernels[ki]; ki += 1
+        out = (h.reshape(B * S, W) @ k_h).reshape(B, S, W)
+      h = jax.nn.relu(out)
+    return h
+
+  def v2(pts, meta, kernels):  # posenc zero-padded to 48 channels
+    pe = encoding.posenc(pts, num_freqs=F).astype(jnp.bfloat16)
+    pe = jnp.pad(pe, ((0, 0), (0, 0), (0, 48 - pe_dim)))
+    return stack_fwd(pe, meta, kernels)
+
+  def bench(name, fwd, kern, n=20):
+    def loss(pts, meta, kernels):
+      return (fwd(pts, meta, kernels) ** 2).mean()
+    f = jax.jit(jax.value_and_grad(loss, argnums=2))
+    out = f(pts, meta, kern); sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+      out = f(pts, meta, kern)
+    sync(out)
+    dt = (time.perf_counter() - t0) / n
+    flops_fwd = 2 * B * S * ((pe_dim + META) * W + 4 * W * W
+                             + (W + pe_dim + META) * W)
+    print(f'{name}: {dt * 1e3:7.2f} ms  ~{3 * flops_fwd / dt / 1e12:6.1f} '
+          f'TF/s (fwd+bwd est)', flush=True)
+
+  bench('v0 posenc->3D dots   ', v0, kernels)
+  bench('v1 flatten->2D dots  ', v1, kernels)
+  bench('v2 pad-to-48->3D dots', v2, kernels48)
+
+
 # ------------------------------------------------------------ dispatch
 
 def run_dispatch(args):
@@ -275,6 +365,9 @@ def main():
 
   sub.add_parser('dispatch')
 
+  p_layout = sub.add_parser('layout')
+  p_layout.add_argument('--batch_size', type=int, default=6144)
+
   p_x = sub.add_parser('xplane')
   p_x.add_argument('path')
   p_x.add_argument('--top', type=int, default=20)
@@ -286,6 +379,8 @@ def main():
     run_render(args)
   elif args.mode == 'dispatch':
     run_dispatch(args)
+  elif args.mode == 'layout':
+    run_layout(args)
   elif args.mode == 'xplane':
     run_xplane(args.path, args.top)
 
