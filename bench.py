@@ -29,6 +29,11 @@ import flax.linen as nn
 import jax
 import numpy as np
 
+# The axon remote compile service takes minutes per new program; the
+# persistent cache makes repeat benches (and the driver's run) instant.
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
 from nerfies_tpu import configs
 from nerfies_tpu import evaluation
 from nerfies_tpu import training
@@ -50,8 +55,10 @@ PEAK_BF16_FLOPS = {
 
 
 def model_config(use_bfloat16: bool = True,
-                 use_stratified_sampling: bool = True):
+                 use_stratified_sampling: bool = True,
+                 use_fused_mlp: bool = False):
   return configs.ModelConfig(
+      use_fused_mlp=use_fused_mlp,
       num_coarse_samples=128,
       num_fine_samples=128,
       nerf_trunk_depth=8,
@@ -78,8 +85,9 @@ def model_config(use_bfloat16: bool = True,
   )
 
 
-def build_workload(batch_size: int, use_bfloat16: bool = True):
-  config = model_config(use_bfloat16)
+def build_workload(batch_size: int, use_bfloat16: bool = True,
+                   use_fused_mlp: bool = False):
+  config = model_config(use_bfloat16, use_fused_mlp=use_fused_mlp)
   train_config = configs.TrainConfig(
       batch_size=batch_size,
       use_elastic_loss=True,
@@ -259,6 +267,12 @@ def main():
   parser.add_argument('--chunk', type=int, default=8192)
   parser.add_argument('--skip_data', action='store_true')
   parser.add_argument('--skip_render', action='store_true')
+  parser.add_argument('--fused', action=argparse.BooleanOptionalAction,
+                      default=True,
+                      help='run the train step through the fused Pallas '
+                           'MLP kernels (ops/fused_mlp.nerf_mlp_train), '
+                           'as configs/tpu_*.gin do (measured 277 vs '
+                           '292 ms/step on v5e)')
   parser.add_argument('--emit_flops', action='store_true',
                       help='internal: print step FLOPs (CPU lowering) '
                            'and exit')
@@ -268,7 +282,8 @@ def main():
     emit_flops(args)
     return
 
-  model, params, train_config = build_workload(args.batch_size)
+  model, params, train_config = build_workload(
+      args.batch_size, use_fused_mlp=args.fused)
   mesh = mesh_lib.create_mesh()
   n_chips = jax.device_count()
   device_kind = jax.devices()[0].device_kind

@@ -91,6 +91,13 @@ class ModelConfig:
   # 'dots' saves matmul outputs and recomputes only elementwise ops
   # (measured ~4% faster on the quarter-HD step, still fits 16 GB).
   remat_policy: str = 'dots'
+  # Run the NeRF MLP stacks of the TRAIN step through the fused Pallas
+  # custom-VJP kernel (ops/fused_mlp.nerf_mlp_train): one HBM pass per
+  # stack per direction with tile-wise activation recompute in VMEM,
+  # instead of XLA's HBM-bandwidth-bound per-layer schedule. Falls back
+  # to the flax path when the architecture is unsupported
+  # (fused_train.supported).
+  use_fused_mlp: bool = False
 
 
 @gin.configurable

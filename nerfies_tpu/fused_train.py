@@ -1,0 +1,148 @@
+"""Training forward pass with the custom-VJP fused NeRF-MLP kernel.
+
+The training analog of fast_render.py: sampling, warp (through the
+module's `apply_warp`, so elastic Jacobians and the background loss keep
+their exact shared-parameter semantics and `jax.linearize` path), ray
+conditions and compositing stay plain differentiable jnp; the two NeRF
+MLP evaluations — the HBM-bandwidth-bound ~55% of the step under XLA's
+per-layer schedule (docs/PERFORMANCE.md) — run through
+`ops.fused_mlp.nerf_mlp_train`, whose hand-written VJP recomputes
+activations tile-wise in VMEM (remat-equivalent memory, one HBM pass per
+stack per direction).
+
+Behavioral notes vs `model.apply`:
+  - Stratified sample jitter draws from the raw per-step keys instead of
+    flax's `make_rng` folding — statistically identical, not bit-equal.
+    Deterministic sampling is bit-comparable (pinned by
+    tests/test_fused_train.py).
+  - `noise_std` regularization is not supported (all shipped configs
+    leave it None); `supported()` gates on it.
+
+Enable via `ModelConfig.use_fused_mlp` (train.py / bench.py plumb it to
+`training.train_step`, which routes here when the model opts in).
+"""
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nerfies_tpu import fast_render
+from nerfies_tpu.ops import encoding
+from nerfies_tpu.ops import fused_mlp
+from nerfies_tpu.ops import rendering
+
+
+def supported(model) -> bool:
+  """Whether the fused training path covers this model architecture."""
+  if not fast_render.supported(model):
+    return False
+  if model.noise_std is not None:
+    return False
+  return True
+
+
+def _mlp_level(params, model, level, points, z_vals, directions,
+               rgb_condition, alpha_condition, return_weights, interpret):
+  b, s = points.shape[:2]
+  pe = encoding.posenc(points, num_freqs=model.num_nerf_point_freqs)
+  c_pe = pe.shape[-1]
+  mlp_params = params[f'nerf_mlps_{level}']
+  width = mlp_params['trunk_hidden_0']['kernel'].shape[1]
+  bf16 = jnp.bfloat16
+
+  rgb_row_bias = None
+  if rgb_condition is not None:
+    rgb_k = mlp_params['rgb_hidden_0']['kernel']
+    rgb_row_bias = jnp.repeat(
+        rgb_condition.astype(bf16), s, axis=0) @ rgb_k[width:].astype(bf16)
+  alpha, rgb_raw = fused_mlp.nerf_mlp_train(
+      pe.reshape(b * s, c_pe).astype(bf16), rgb_row_bias, mlp_params,
+      model.nerf_trunk_depth, tuple(model.nerf_skips), interpret)
+  raw_sigma = alpha[:, 0].reshape(b, s)
+  if alpha_condition is not None:
+    alpha_k = mlp_params['alpha_logit']['kernel']
+    raw_sigma = raw_sigma + (
+        alpha_condition.astype(bf16)
+        @ alpha_k[width:].astype(bf16)).astype(jnp.float32)
+  rgb = nn.sigmoid(rgb_raw[:, :3].reshape(b, s, 3))
+  sigma = model.sigma_activation(raw_sigma)
+  return rendering.volumetric_rendering(
+      rgb, sigma, z_vals, directions,
+      use_white_background=model.use_white_background,
+      sample_at_infinity=model.use_sample_at_infinity,
+      return_weights=return_weights)
+
+
+def model_forward(model,
+                  params: Dict[str, Any],
+                  batch: Dict[str, Any],
+                  warp_extra: Dict[str, Any],
+                  coarse_key,
+                  fine_key,
+                  return_points: bool = False,
+                  return_weights: bool = False,
+                  interpret: bool = False) -> Dict[str, Any]:
+  """Train-time forward matching `model.apply`'s output contract.
+
+  Mirrors NerfModel.__call__ (models/nerf.py:260-339): coarse level
+  always returns weights (the PDF resampler consumes them) and computes
+  warp Jacobians when `model.use_warp_jacobian`; the fine level follows
+  `return_weights`.
+  """
+  origins = batch['origins']
+  directions = batch['directions']
+  metadata = batch['metadata']
+  viewdirs = batch.get('viewdirs', directions)
+
+  rgb_condition, alpha_condition = fast_render._conditions(
+      params, model, viewdirs, metadata)
+  warp_metadata = (
+      metadata['time'] if model.warp_metadata_encoder_type == 'time'
+      else metadata['warp'])
+
+  def level_outputs(level, points, z_vals, use_warp_jacobian,
+                    want_weights):
+    out = {}
+    if return_points:
+      out['points'] = points
+    if model.use_warp:
+      warp_out = model.apply({'params': params}, points, warp_metadata,
+                             warp_extra, use_warp_jacobian, False,
+                             method=model.apply_warp)
+      mlp_points = warp_out['warped_points']
+      if 'jacobian' in warp_out:
+        out['warp_jacobian'] = warp_out['jacobian']
+      if return_points:
+        out['warped_points'] = warp_out['warped_points']
+    else:
+      mlp_points = points
+    out.update(_mlp_level(params, model, level, mlp_points, z_vals,
+                          directions, rgb_condition, alpha_condition,
+                          want_weights, interpret))
+    return out
+
+  z_vals, points = rendering.sample_along_rays(
+      coarse_key if model.use_stratified_sampling else None,
+      origins, directions, model.num_coarse_samples, model.near,
+      model.far, model.use_stratified_sampling,
+      model.use_linear_disparity)
+  out = {'coarse': level_outputs(
+      'coarse', points, z_vals,
+      use_warp_jacobian=model.use_warp_jacobian, want_weights=True)}
+
+  return_weights_out = model.use_weights or return_weights
+  if model.num_fine_samples > 0:
+    z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_vals, points = rendering.sample_pdf(
+        fine_key if model.use_stratified_sampling else None,
+        z_vals_mid, out['coarse']['weights'][..., 1:-1],
+        origins, directions, z_vals, model.num_fine_samples,
+        model.use_stratified_sampling)
+    out['fine'] = level_outputs(
+        'fine', points, z_vals, use_warp_jacobian=False,
+        want_weights=return_weights_out)
+  if not return_weights_out:
+    del out['coarse']['weights']
+  return out

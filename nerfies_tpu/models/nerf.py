@@ -88,6 +88,7 @@ class NerfModel(nn.Module):
   use_remat: bool = True
   remat_policy: str = 'dots'
   use_bfloat16: bool = False
+  use_fused_mlp: bool = False
   warp_kwargs: Mapping[str, Any] = FrozenDict()
 
   metadata_encoded: bool = False
@@ -399,6 +400,7 @@ def construct_nerf(key,
       use_remat=config.use_remat,
       remat_policy=config.remat_policy,
       use_bfloat16=config.use_bfloat16,
+      use_fused_mlp=config.use_fused_mlp,
   )
 
   # Parameter shapes (and init values) are independent of the ray batch, so

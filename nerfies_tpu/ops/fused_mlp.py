@@ -226,6 +226,324 @@ def nerf_mlp_forward(x: jnp.ndarray,
   return alpha[:n], rgb[:n]
 
 
+# ------------------------------------------------- NeRF MLP training VJP
+
+def _nerf_pack(params: dict, c_in: int, trunk_depth: int,
+               skips: Tuple[int, ...]):
+  """Splits/pads the NerfMLP param tree into kernel operand arrays.
+
+  Returns (ops, meta): `ops` is a flat list of bf16 arrays in a fixed
+  order; `meta` records names/slices so gradients can be scattered back
+  into the original tree shapes.
+  """
+  c_pad = 128 * ((c_in + 127) // 128)
+  width = params['trunk_hidden_0']['kernel'].shape[1]
+  has_bottleneck = 'bottleneck' in params
+  rgb_width = params['rgb_hidden_0']['kernel'].shape[1]
+
+  ops = []
+  meta = {'c_in': c_in, 'c_pad': c_pad, 'width': width,
+          'rgb_width': rgb_width, 'has_bottleneck': has_bottleneck,
+          'trunk_depth': trunk_depth, 'skips': tuple(skips), 'names': []}
+
+  def add(name, arr):
+    ops.append(arr.astype(jnp.bfloat16))
+    meta['names'].append(name)
+
+  for i in range(trunk_depth):
+    k = params[f'trunk_hidden_{i}']['kernel']
+    if i == 0:
+      add(f'trunk_{i}/w', _pad_rows(k, c_pad))
+    elif i in skips:
+      add(f'trunk_{i}/w', k[:width])
+      add(f'trunk_{i}/wx', _pad_rows(k[width:width + c_in], c_pad))
+    else:
+      add(f'trunk_{i}/w', k)
+    add(f'trunk_{i}/b', _wrow(params[f'trunk_hidden_{i}']['bias']))
+  if has_bottleneck:
+    add('bottleneck/w', params['bottleneck']['kernel'])
+    add('bottleneck/b', _wrow(params['bottleneck']['bias']))
+  add('rgb_hidden/w', params['rgb_hidden_0']['kernel'][:width])
+  add('rgb_hidden/b', _wrow(params['rgb_hidden_0']['bias']))
+  add('rgb_logit/w', _pad_last(params['rgb_logit']['kernel'], 8))
+  add('rgb_logit/b', _wrow(_pad_last(params['rgb_logit']['bias'], 8)))
+  add('alpha_logit/w', _pad_last(params['alpha_logit']['kernel'][:width],
+                                 8))
+  add('alpha_logit/b', _wrow(_pad_last(params['alpha_logit']['bias'], 8)))
+  return ops, meta
+
+
+def _nerf_fwd_tile(xt, rb, w, meta, save_acts=False):
+  """The shared forward recurrence on one VMEM tile (trace-time python)."""
+  names = meta['names']
+  get = lambda n: w[names.index(n)][:]
+  acts = {}
+  h = None
+  for i in range(meta['trunk_depth']):
+    acc = _dot(xt if h is None else h, get(f'trunk_{i}/w'))
+    if i in meta['skips'] and i != 0:
+      acc = acc + _dot(xt, get(f'trunk_{i}/wx'))
+    acc = acc + get(f'trunk_{i}/b').astype(jnp.float32)
+    h = jnp.maximum(acc, 0.0).astype(xt.dtype)
+    if save_acts:
+      acts[f'h{i}'] = h
+  if meta['has_bottleneck']:
+    bt = (_dot(h, get('bottleneck/w'))
+          + get('bottleneck/b').astype(jnp.float32)).astype(xt.dtype)
+  else:
+    bt = h
+  if save_acts:
+    acts['bt'] = bt
+  alpha = _dot(bt, get('alpha_logit/w')) + get('alpha_logit/b').astype(
+      jnp.float32)
+  acc = _dot(bt, get('rgb_hidden/w')) + get('rgb_hidden/b').astype(
+      jnp.float32)
+  if rb is not None:
+    acc = acc + rb.astype(jnp.float32)
+  y = jnp.maximum(acc, 0.0).astype(xt.dtype)
+  if save_acts:
+    acts['y'] = y
+  rgb = _dot(y, get('rgb_logit/w')) + get('rgb_logit/b').astype(
+      jnp.float32)
+  return alpha, rgb, acts
+
+
+def _dot_t(a, b):
+  """a @ b.T without materializing the transpose."""
+  return jax.lax.dot_general(
+      a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _dot_at(a, b):
+  """a.T @ b (contract rows) without materializing the transpose."""
+  return jax.lax.dot_general(
+      a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def nerf_mlp_train(x, rgb_row_bias, params, trunk_depth, skips,
+                   interpret=False):
+  """Differentiable fused NerfMLP forward (training path).
+
+  Same contract as `nerf_mlp_forward` but with a hand-written backward
+  pass: the VJP recomputes activations tile-by-tile in VMEM (so nothing
+  but x / bias / params is saved between passes — remat-equivalent
+  memory) and accumulates weight gradients in f32 across the row-tile
+  grid. Returns (alpha (N, 8), rgb (N, 8)) f32.
+  """
+  out = _nerf_train_fwd(x, rgb_row_bias, params, trunk_depth, skips,
+                        interpret)
+  return out[0]
+
+
+def _nerf_train_fwd(x, rgb_row_bias, params, trunk_depth, skips,
+                    interpret):
+  alpha, rgb = nerf_mlp_forward(
+      x, rgb_row_bias, params, trunk_depth=trunk_depth, skips=skips,
+      interpret=interpret)
+  return (alpha, rgb), (x, rgb_row_bias, params)
+
+
+def _nerf_train_bwd(trunk_depth, skips, interpret, residuals, grads):
+  x, rgb_row_bias, params = residuals
+  g_alpha, g_rgb = grads
+  n, c_in = x.shape
+  ops, meta = _nerf_pack(params, c_in, trunk_depth, skips)
+  c_pad = meta['c_pad']
+  names = meta['names']
+  has_rb = rgb_row_bias is not None
+  dtype = jnp.bfloat16
+
+  xp = _pad_last(x, c_pad).astype(dtype)
+  g_alpha = g_alpha.astype(jnp.float32)
+  g_rgb = g_rgb.astype(jnp.float32)
+  rb = rgb_row_bias.astype(dtype) if has_rb else None
+
+  # Smaller tile than the forward: the backward keeps every layer's
+  # activations plus f32 weight-grad accumulators live in VMEM.
+  tile = min(512, n)
+  pad_n = (-n) % tile
+  if pad_n:
+    xp = jnp.pad(xp, ((0, pad_n), (0, 0)))
+    # Zero cotangents on padded rows contribute nothing to dW.
+    g_alpha = jnp.pad(g_alpha, ((0, pad_n), (0, 0)))
+    g_rgb = jnp.pad(g_rgb, ((0, pad_n), (0, 0)))
+    if has_rb:
+      rb = jnp.pad(rb, ((0, pad_n), (0, 0)))
+  n_padded = n + pad_n
+
+  def kernel(*refs):
+    idx = 0
+    x_ref = refs[idx]; idx += 1
+    if has_rb:
+      rb_ref = refs[idx]; idx += 1
+    ga_ref = refs[idx]; idx += 1
+    gr_ref = refs[idx]; idx += 1
+    w_refs = refs[idx:idx + len(ops)]; idx += len(ops)
+    out_refs = refs[idx:]
+    dx_ref, drb_ref = out_refs[0], (out_refs[1] if has_rb else None)
+    dw_refs = out_refs[2 if has_rb else 1:]
+
+    get = lambda nm: w_refs[names.index(nm)][:]
+    xt = x_ref[:]
+    rbt = rb_ref[:] if has_rb else None
+    _, _, acts = _nerf_fwd_tile(xt, rbt, w_refs, meta, save_acts=True)
+
+    step0 = pl.program_id(0) == 0
+
+    def acc_dw(nm, val):
+      ref = dw_refs[names.index(nm)]
+
+      @pl.when(step0)
+      def _():
+        ref[:] = val
+
+      @pl.when(jnp.logical_not(step0))
+      def _():
+        ref[:] = ref[:] + val
+
+    ga = ga_ref[:].astype(dtype)
+    gr = gr_ref[:].astype(dtype)
+
+    y = acts['y']
+    # ReLU masks compare in f32: Mosaic rejects cmpf on packed bf16
+    # vectors ("Target does not support this comparison").
+    gy = (_dot_t(gr, get('rgb_logit/w'))
+          * (y.astype(jnp.float32) > 0.0)).astype(dtype)
+    acc_dw('rgb_logit/w', _dot_at(y, gr))
+    acc_dw('rgb_logit/b', jnp.sum(gr.astype(jnp.float32), axis=0,
+                                  keepdims=True))
+    if has_rb:
+      drb_ref[:] = gy.astype(jnp.float32)
+
+    bt = acts['bt']
+    g_bt = (_dot_t(gy, get('rgb_hidden/w'))
+            + _dot_t(ga, get('alpha_logit/w'))).astype(dtype)
+    acc_dw('rgb_hidden/w', _dot_at(bt, gy))
+    acc_dw('rgb_hidden/b', jnp.sum(gy.astype(jnp.float32), axis=0,
+                                   keepdims=True))
+    acc_dw('alpha_logit/w', _dot_at(bt, ga))
+    acc_dw('alpha_logit/b', jnp.sum(ga.astype(jnp.float32), axis=0,
+                                    keepdims=True))
+
+    last = f'h{meta["trunk_depth"] - 1}'
+    if meta['has_bottleneck']:
+      g_h = _dot_t(g_bt, get('bottleneck/w')).astype(dtype)
+      acc_dw('bottleneck/w', _dot_at(acts[last], g_bt))
+      acc_dw('bottleneck/b', jnp.sum(g_bt.astype(jnp.float32), axis=0,
+                                     keepdims=True))
+    else:
+      g_h = g_bt
+
+    gx = jnp.zeros((xt.shape[0], c_pad), jnp.float32)
+    for i in range(meta['trunk_depth'] - 1, -1, -1):
+      h_i = acts[f'h{i}']
+      g_pre = (g_h.astype(jnp.float32)
+               * (h_i.astype(jnp.float32) > 0.0)).astype(dtype)
+      src = xt if i == 0 else acts[f'h{i - 1}']
+      acc_dw(f'trunk_{i}/w', _dot_at(src, g_pre))
+      acc_dw(f'trunk_{i}/b', jnp.sum(g_pre.astype(jnp.float32), axis=0,
+                                     keepdims=True))
+      if i in meta['skips'] and i != 0:
+        acc_dw(f'trunk_{i}/wx', _dot_at(xt, g_pre))
+        gx = gx + _dot_t(g_pre, get(f'trunk_{i}/wx'))
+      if i == 0:
+        gx = gx + _dot_t(g_pre, get('trunk_0/w'))
+      else:
+        g_h = _dot_t(g_pre, get(f'trunk_{i}/w')).astype(dtype)
+    dx_ref[:] = gx
+
+  row = lambda c: pl.BlockSpec((tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+  const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+
+  in_specs = [row(c_pad)]
+  operands = [xp]
+  if has_rb:
+    in_specs.append(row(rb.shape[1]))
+    operands.append(rb)
+  in_specs += [row(8), row(8)]
+  operands += [g_alpha, g_rgb]
+  for w in ops:
+    in_specs.append(const(w.shape))
+    operands.append(w)
+
+  out_shapes = [jax.ShapeDtypeStruct((n_padded, c_pad), jnp.float32)]
+  out_specs = [row(c_pad)]
+  if has_rb:
+    out_shapes.append(
+        jax.ShapeDtypeStruct((n_padded, rb.shape[1]), jnp.float32))
+    out_specs.append(row(rb.shape[1]))
+  for w in ops:
+    out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+    out_specs.append(const(w.shape))
+
+  outs = pl.pallas_call(
+      kernel,
+      out_shape=out_shapes,
+      grid=(n_padded // tile,),
+      in_specs=in_specs,
+      out_specs=out_specs,
+      interpret=interpret,
+  )(*operands)
+
+  dx = outs[0][:n, :c_in]
+  drb = outs[1][:n] if has_rb else None
+  dws = dict(zip(names, outs[2 if has_rb else 1:]))
+
+  # Scatter padded/split gradients back into the param-tree shapes.
+  width = meta['width']
+  dparams = {}
+  for i in range(trunk_depth):
+    dk = dws[f'trunk_{i}/w']
+    if i == 0:
+      kernel_grad = dk[:c_in]
+    elif i in skips:
+      kernel_grad = jnp.concatenate(
+          [dk, dws[f'trunk_{i}/wx'][:c_in]], axis=0)
+    else:
+      kernel_grad = dk
+    dparams[f'trunk_hidden_{i}'] = {
+        'kernel': kernel_grad, 'bias': dws[f'trunk_{i}/b'][0]}
+  if meta['has_bottleneck']:
+    dparams['bottleneck'] = {'kernel': dws['bottleneck/w'],
+                             'bias': dws['bottleneck/b'][0]}
+  rgb_hidden_rows = params['rgb_hidden_0']['kernel'].shape[0]
+  rgb_hidden_grad = dws['rgb_hidden/w']
+  if rgb_hidden_rows > width:
+    # Condition rows' gradient comes via drb (cond @ rows), which the
+    # caller owns; report zeros here to keep shapes aligned.
+    rgb_hidden_grad = jnp.concatenate(
+        [rgb_hidden_grad,
+         jnp.zeros((rgb_hidden_rows - width, meta['rgb_width']),
+                   jnp.float32)], axis=0)
+  dparams['rgb_hidden_0'] = {'kernel': rgb_hidden_grad,
+                             'bias': dws['rgb_hidden/b'][0]}
+  rgb_ch = params['rgb_logit']['kernel'].shape[1]
+  dparams['rgb_logit'] = {
+      'kernel': dws['rgb_logit/w'][:, :rgb_ch],
+      'bias': dws['rgb_logit/b'][0, :rgb_ch]}
+  alpha_rows = params['alpha_logit']['kernel'].shape[0]
+  alpha_ch = params['alpha_logit']['kernel'].shape[1]
+  alpha_grad = dws['alpha_logit/w'][:, :alpha_ch]
+  if alpha_rows > width:
+    alpha_grad = jnp.concatenate(
+        [alpha_grad, jnp.zeros((alpha_rows - width, alpha_ch),
+                               jnp.float32)], axis=0)
+  dparams['alpha_logit'] = {
+      'kernel': alpha_grad,
+      'bias': dws['alpha_logit/b'][0, :alpha_ch]}
+
+  dparams = jax.tree.map(
+      lambda g, p: g.astype(p.dtype), dparams,
+      {k: dict(v) for k, v in params.items() if k in dparams})
+  return dx.astype(x.dtype), drb, dparams
+
+
+nerf_mlp_train.defvjp(_nerf_train_fwd, _nerf_train_bwd)
+
+
 # --------------------------------------------------------------- warp MLP
 
 def warp_trunk_forward(x: jnp.ndarray,

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import optax
 
 from nerfies_tpu import configs
+from nerfies_tpu import fused_train
 from nerfies_tpu.ops import mathutils
 from nerfies_tpu.ops import rendering
 from nerfies_tpu.ops import svd3
@@ -273,12 +274,19 @@ def train_step(model,
   def _loss_fn(params):
     need_points = use_warp_reg_loss or (
         use_elastic_loss and elastic_reduce_method == 'median')
-    ret = model.apply({'params': params},
-                      batch,
-                      warp_extra=state.warp_extra,
-                      return_points=need_points,
-                      return_weights=use_warp_reg_loss or use_elastic_loss,
-                      rngs={'fine': fine_key, 'coarse': coarse_key})
+    if model.use_fused_mlp and fused_train.supported(model):
+      ret = fused_train.model_forward(
+          model, params, batch, state.warp_extra, coarse_key, fine_key,
+          return_points=need_points,
+          return_weights=use_warp_reg_loss or use_elastic_loss,
+          interpret=jax.devices()[0].platform != 'tpu')
+    else:
+      ret = model.apply({'params': params},
+                        batch,
+                        warp_extra=state.warp_extra,
+                        return_points=need_points,
+                        return_weights=use_warp_reg_loss or use_elastic_loss,
+                        rngs={'fine': fine_key, 'coarse': coarse_key})
 
     losses = {}
     stats = {}

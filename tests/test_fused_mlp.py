@@ -106,3 +106,88 @@ def test_ragged_rows_padded():
   np.testing.assert_allclose(rgb[:, :3].reshape(1, 37, 3),
                              np.asarray(want['rgb']),
                              atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize('with_conditions', [True, False])
+def test_nerf_mlp_train_grads_match_module(with_conditions):
+  """Custom-VJP fused kernel vs jax.grad through the flax module."""
+  B, S, C = 2, 8, 27
+  depth, width, skips = 4, 64, (2,)
+  mlp = _nerf_mlp(depth=depth, width=width, skips=skips)
+  key = jax.random.PRNGKey(3)
+  x = jax.random.normal(key, (B, S, C), jnp.float32)
+  if with_conditions:
+    alpha_cond = jax.random.normal(jax.random.fold_in(key, 1), (B, 5))
+    rgb_cond = jax.random.normal(jax.random.fold_in(key, 2), (B, 7))
+  else:
+    alpha_cond = rgb_cond = None
+  params = mlp.init(key, x, None, alpha_cond, rgb_cond)['params']
+
+  def loss_module(params, x):
+    out = mlp.apply({'params': params}, x, None, alpha_cond, rgb_cond)
+    return (out['rgb'] ** 2).mean() + (out['alpha'] ** 2).mean()
+
+  def loss_fused(params, x):
+    bf16 = jnp.bfloat16
+    flat_x = x.reshape(B * S, C)
+    if with_conditions:
+      rgb_k = params['rgb_hidden_0']['kernel']
+      rgb_row_bias = jnp.repeat(
+          rgb_cond.astype(bf16) @ rgb_k[width:].astype(bf16), S, axis=0)
+    else:
+      rgb_row_bias = None
+    alpha, rgb = fused_mlp.nerf_mlp_train(
+        flat_x.astype(bf16), rgb_row_bias, params, depth, skips, True)
+    sigma = alpha[:, :1].reshape(B, S, 1)
+    if with_conditions:
+      alpha_k = params['alpha_logit']['kernel']
+      sigma = sigma + (alpha_cond.astype(bf16)
+                       @ alpha_k[width:].astype(bf16)).astype(
+                           jnp.float32)[:, None, :]
+    rgb = rgb[:, :3].reshape(B, S, 3)
+    return (rgb ** 2).mean() + (sigma ** 2).mean()
+
+  # Ground truth: the SAME architecture in float32 (both the bf16 module
+  # and the bf16 fused kernel carry accumulation noise of similar size;
+  # each must sit within bf16 distance of the f32 reference).
+  mlp32 = modules.NerfMLP(
+      trunk_depth=depth, trunk_width=width, rgb_branch_depth=1,
+      rgb_branch_width=32, skips=skips, dtype=None)
+
+  def loss_f32(params, x):
+    out = mlp32.apply({'params': params}, x, None, alpha_cond, rgb_cond)
+    return (out['rgb'] ** 2).mean() + (out['alpha'] ** 2).mean()
+
+  v_r, g_r = jax.value_and_grad(loss_f32)(params, x)
+  v_m, g_m = jax.value_and_grad(loss_module)(params, x)
+  v_f, g_f = jax.value_and_grad(loss_fused)(params, x)
+  np.testing.assert_allclose(float(v_f), float(v_r), rtol=0.05)
+  np.testing.assert_allclose(float(v_m), float(v_r), rtol=0.05)
+
+  def check(tree, tag):
+    # bf16 accumulation noise on individual entries reaches tens of
+    # percent by trunk layer 0 (the bf16 MODULE itself does too), so
+    # compare gradient DIRECTIONS and magnitudes per leaf.
+    flat_r = jax.tree_util.tree_flatten_with_path(g_r)[0]
+    flat_t = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for (path_r, leaf_r), (path_t, leaf_t) in zip(flat_r, flat_t):
+      assert path_r == path_t
+      a = np.asarray(leaf_r, np.float64).ravel()
+      b = np.asarray(leaf_t, np.float64).ravel()
+      na, nb = np.linalg.norm(a), np.linalg.norm(b)
+      if na < 1e-6:
+        continue
+      cos = float(a @ b / (na * nb))
+      assert cos > 0.98, f'{tag} {path_r}: cosine {cos}'
+      assert 0.8 < nb / na < 1.25, f'{tag} {path_r}: norms {nb}/{na}'
+
+  check(g_m, 'module-bf16')  # tolerance sanity: the bf16 module itself
+  check(g_f, 'fused-kernel')
+
+  # d/dx parity too (same criterion).
+  gx_r = np.asarray(jax.grad(loss_f32, argnums=1)(params, x),
+                    np.float64).ravel()
+  gx_f = np.asarray(jax.grad(loss_fused, argnums=1)(params, x),
+                    np.float64).ravel()
+  cos = float(gx_r @ gx_f / (np.linalg.norm(gx_r) * np.linalg.norm(gx_f)))
+  assert cos > 0.98, cos

@@ -1,0 +1,201 @@
+"""fused_train (custom-VJP fused training path) vs model.apply, CPU interpret.
+
+Pins the contract promised in nerfies_tpu/fused_train.py: deterministic
+sampling is bit-comparable to the flax forward, gradients through the
+full train step agree, and the `use_fused_mlp` routing in
+training.train_step is exercised end-to-end.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfies_tpu import configs
+from nerfies_tpu import fused_train
+from nerfies_tpu import training
+from nerfies_tpu.models import nerf
+
+
+def _build(use_fused_mlp=True, **overrides):
+  kwargs = dict(
+      num_coarse_samples=6,
+      num_fine_samples=6,
+      nerf_trunk_depth=3,
+      nerf_trunk_width=32,
+      nerf_rgb_branch_depth=1,
+      nerf_rgb_branch_width=16,
+      nerf_skips=(2,),
+      num_nerf_point_freqs=3,
+      num_nerf_viewdir_freqs=2,
+      num_warp_freqs=2,
+      use_warp=True,
+      warp_field_type='se3',
+      warp_kwargs={'trunk_depth': 3, 'skips': (2,)},
+      use_appearance_metadata=True,
+      use_alpha_condition=True,
+      use_rgb_condition=True,
+      sigma_activation=nn.softplus,
+      use_stratified_sampling=False,
+      noise_std=None,
+      use_bfloat16=True,
+      use_fused_mlp=use_fused_mlp,
+  )
+  kwargs.update(overrides)
+  config = configs.ModelConfig(**kwargs)
+  model, params = nerf.construct_nerf(
+      jax.random.PRNGKey(0), config, batch_size=16,
+      appearance_ids=(0, 1), camera_ids=(0,), warp_ids=(0, 1),
+      near=0.5, far=3.0,
+      use_warp_jacobian=True, use_weights=True)
+  return model, params
+
+
+def _batch(batch_size=12, seed=0):
+  rng = np.random.RandomState(seed)
+  directions = rng.normal(size=(batch_size, 3)).astype(np.float32)
+  directions /= np.linalg.norm(directions, axis=-1, keepdims=True)
+  return {
+      'origins': np.zeros((batch_size, 3), np.float32),
+      'directions': directions,
+      'rgb': rng.uniform(size=(batch_size, 3)).astype(np.float32),
+      'metadata': {
+          'warp': rng.randint(0, 2, (batch_size, 1)).astype(np.uint32),
+          'camera': np.zeros((batch_size, 1), np.uint32),
+          'appearance': rng.randint(
+              0, 2, (batch_size, 1)).astype(np.uint32),
+          'time': np.zeros((batch_size, 1), np.float32),
+      },
+  }
+
+
+_WARP_EXTRA = {'alpha': 1.5, 'time_alpha': 0.0}
+
+
+def test_forward_matches_model_deterministic():
+  model, params = _build()
+  assert fused_train.supported(model)
+  batch = {k: jnp.asarray(v) if not isinstance(v, dict) else
+           {kk: jnp.asarray(vv) for kk, vv in v.items()}
+           for k, v in _batch().items()}
+  want = model.apply({'params': params}, batch, warp_extra=_WARP_EXTRA,
+                     return_points=True, return_weights=True,
+                     rngs={'coarse': jax.random.PRNGKey(0),
+                           'fine': jax.random.PRNGKey(1)})
+  got = fused_train.model_forward(
+      model, params, batch, _WARP_EXTRA, jax.random.PRNGKey(0),
+      jax.random.PRNGKey(1), return_points=True, return_weights=True,
+      interpret=True)
+  assert set(got.keys()) == set(want.keys())
+  for level in want:
+    assert set(got[level].keys()) == set(want[level].keys()), level
+    for key in ('rgb', 'depth', 'med_depth', 'acc'):
+      np.testing.assert_allclose(
+          np.asarray(got[level][key]), np.asarray(want[level][key]),
+          atol=0.02, rtol=0.05, err_msg=f'{level}/{key}')
+  # The warp runs through the SAME apply_warp path -> exact equality.
+  np.testing.assert_array_equal(
+      np.asarray(got['coarse']['warp_jacobian']),
+      np.asarray(want['coarse']['warp_jacobian']))
+  np.testing.assert_array_equal(np.asarray(got['coarse']['points']),
+                                np.asarray(want['coarse']['points']))
+
+
+@pytest.mark.parametrize('reduce_method', ['weight', 'median'])
+def test_train_step_fused_matches_flax(reduce_method):
+  """Loss/grad parity of the fused train step against the flax step."""
+  model_f, params = _build(use_fused_mlp=True)
+  model_x, _ = _build(use_fused_mlp=False)
+  batch = _batch()
+  state = training.create_train_state(
+      params, warp_alpha=_WARP_EXTRA['alpha'])
+  scalars = training.ScalarParams(
+      learning_rate=1e-3, elastic_loss_weight=0.01,
+      warp_reg_loss_weight=0.01)
+
+  def run(model):
+    _, stats, _ = training.train_step(
+        model, jax.random.PRNGKey(7), state, batch, scalars,
+        use_elastic_loss=True, elastic_reduce_method=reduce_method,
+        use_warp_reg_loss=True, use_background_loss=False)
+    return stats
+
+  stats_f = run(model_f)
+  stats_x = run(model_x)
+  for level in ('coarse', 'fine'):
+    for key in ('loss/total', 'loss/rgb', 'metric/psnr'):
+      np.testing.assert_allclose(
+          float(stats_f[level][key]), float(stats_x[level][key]),
+          rtol=0.05, atol=5e-4, err_msg=f'{level}/{key}')
+  np.testing.assert_allclose(
+      float(stats_f['coarse']['loss/elastic']),
+      float(stats_x['coarse']['loss/elastic']), rtol=0.05, atol=1e-4)
+
+
+def test_grads_match_flax_model():
+  """Per-leaf gradient directions agree between fused and flax paths."""
+  model_f, params = _build(use_fused_mlp=True)
+  model_x, _ = _build(use_fused_mlp=False)
+  batch = {k: jnp.asarray(v) if not isinstance(v, dict) else
+           {kk: jnp.asarray(vv) for kk, vv in v.items()}
+           for k, v in _batch(seed=5).items()}
+  target = jnp.asarray(batch['rgb'])
+
+  def loss_fused(params):
+    out = fused_train.model_forward(
+        model_f, params, batch, _WARP_EXTRA, jax.random.PRNGKey(0),
+        jax.random.PRNGKey(1), interpret=True)
+    return ((out['fine']['rgb'] - target) ** 2).mean() + (
+        (out['coarse']['rgb'] - target) ** 2).mean()
+
+  def loss_flax(params):
+    out = model_x.apply({'params': params}, batch,
+                        warp_extra=_WARP_EXTRA,
+                        rngs={'coarse': jax.random.PRNGKey(0),
+                              'fine': jax.random.PRNGKey(1)})
+    return ((out['fine']['rgb'] - target) ** 2).mean() + (
+        (out['coarse']['rgb'] - target) ** 2).mean()
+
+  v_f, g_f = jax.value_and_grad(loss_fused)(params)
+  v_x, g_x = jax.value_and_grad(loss_flax)(params)
+  np.testing.assert_allclose(float(v_f), float(v_x), rtol=0.05)
+
+  flat_f = jax.tree_util.tree_flatten_with_path(g_f)[0]
+  flat_x = jax.tree_util.tree_flatten_with_path(g_x)[0]
+  ref_scale = max(
+      float(np.linalg.norm(np.asarray(l, np.float64).ravel()))
+      for _, l in flat_x)
+  for (path_f, leaf_f), (path_x, leaf_x) in zip(flat_f, flat_x):
+    assert path_f == path_x
+    a = np.asarray(leaf_f, np.float64).ravel()
+    b = np.asarray(leaf_x, np.float64).ravel()
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    # Skip leaves that are negligibly small on both sides (bf16 noise
+    # dominates direction there).
+    if max(na, nb) < 1e-4 * ref_scale:
+      continue
+    cos = float(a @ b / (na * nb))
+    assert cos > 0.95, f'{path_x}: cosine {cos}'
+    assert 0.7 < (na + 1e-12) / (nb + 1e-12) < 1.4, \
+        f'{path_x}: norms {na}/{nb}'
+
+
+def test_stratified_sampling_runs():
+  model, params = _build(use_stratified_sampling=True)
+  batch = {k: jnp.asarray(v) if not isinstance(v, dict) else
+           {kk: jnp.asarray(vv) for kk, vv in v.items()}
+           for k, v in _batch(seed=2).items()}
+  out = fused_train.model_forward(
+      model, params, batch, _WARP_EXTRA, jax.random.PRNGKey(3),
+      jax.random.PRNGKey(4), interpret=True)
+  for level in ('coarse', 'fine'):
+    assert np.isfinite(np.asarray(out[level]['rgb'])).all()
+    assert np.isfinite(np.asarray(out[level]['depth'])).all()
+
+
+def test_supported_gating():
+  model, _ = _build(noise_std=0.1)
+  assert not fused_train.supported(model)
+  model, _ = _build(use_trunk_condition=True)
+  assert not fused_train.supported(model)
