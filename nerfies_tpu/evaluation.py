@@ -23,7 +23,8 @@ from nerfies_tpu.parallel import mesh as mesh_lib
 
 
 def make_render_fn(model, mesh, use_warp: bool = True,
-                   fast: str = 'auto') -> Callable:
+                   fast: str = 'auto', occupancy=None,
+                   keep_samples=None) -> Callable:
   """Builds the jitted per-chunk render function.
 
   Returns a callable (params, rays_dict, warp_extra, rng) -> model output
@@ -38,6 +39,11 @@ def make_render_fn(model, mesh, use_warp: bool = True,
   the fused-kernel serving path (nerfies_tpu/fast_render.py) when the
   architecture supports it; 'off' always uses `model.apply`. Stratified
   models always use `model.apply` (the fast path has no rng streams).
+
+  `occupancy` + `keep_samples=(k_coarse, k_fine)` enable empty-space
+  skipping on the fast path (occupancy.OccupancyGrid baked from the
+  trained model's density via occupancy.build_grid); ignored when the
+  fast path is off.
   """
   data_sharding = mesh_lib.batch_sharding(mesh)
   chunked_sharding = jax.sharding.NamedSharding(
@@ -54,7 +60,9 @@ def make_render_fn(model, mesh, use_warp: bool = True,
       del rng  # deterministic
       return fast_render.render_rays(params, rays_dict, warp_extra,
                                      model, use_warp=use_warp,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     occupancy=occupancy,
+                                     keep_samples=keep_samples)
     # Stratified-sampling models need named rngs even at render time
     # (parity with the reference's key_0/key_1 plumbing, eval.py:330-348).
     key_coarse, key_fine = jax.random.split(rng)

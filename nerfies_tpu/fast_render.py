@@ -1,10 +1,16 @@
-"""The fast serving renderer: fused-kernel forward over the param pytree.
+"""The fast serving renderer: lean forward over the param pytree.
 
-A lean, pure-function render path for trained models: sampling, warp,
+A pure-function render path for trained models: sampling, warp,
 encodings and compositing as plain jnp ops, with the two MLP stacks
-executed by the fused Pallas kernels (ops/fused_mlp.py) that keep
-activations in VMEM — the XLA per-layer path is HBM-bandwidth-bound on
-these narrow MLPs (see the module docstring there / docs/PERFORMANCE.md).
+executed either by XLA dot chains (`mlp='xla'`, the default — XLA's
+per-layer pipeline measured faster at render on v5e: 157.8k vs 132.4k
+rays/s at the 32+64 preset) or by the fused Pallas kernels
+(`mlp='pallas'`, ops/fused_mlp.py — whose VMEM-resident custom VJP is
+the TRAINING default, where its remat-equivalent memory wins).
+
+Beyond the lean dispatch, this path owns the serving-only accelerations:
+reduced-sample presets (EvalConfig.num_{coarse,fine}_samples) and
+occupancy-grid empty-space skipping (occupancy.py, `keep_samples`).
 
 This is deliberately NOT a flax module: serving reads straight from the
 checkpoint's param pytree (the same tree `model.apply` uses — proven
@@ -20,11 +26,12 @@ trunk condition); `evaluation.make_render_fn` falls back to `model.apply`
 otherwise.
 """
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn
 
+from nerfies_tpu import occupancy as occupancy_lib
 from nerfies_tpu.ops import encoding
 from nerfies_tpu.ops import fused_mlp
 from nerfies_tpu.ops import rendering
@@ -60,7 +67,7 @@ def _repeat_rows(per_ray: jnp.ndarray, s: int) -> jnp.ndarray:
 
 
 def _apply_warp_fused(params, model, points, warp_ids, warp_extra,
-                      interpret):
+                      interpret, mlp='xla'):
   """SE(3)/translation warp of (B, S, 3) points via the fused trunk."""
   warp_params = params['warp_field']
   b, s = points.shape[:2]
@@ -80,9 +87,9 @@ def _apply_warp_fused(params, model, points, warp_ids, warp_extra,
   embed = _repeat_rows(embed, s).astype(jnp.bfloat16)  # (N, F)
 
   if model.warp_field_type == 'translation':
-    mlp = warp_params['mlp']
-    trunk = {k: v for k, v in mlp.items() if k.startswith('hidden')}
-    head = mlp['logit']
+    mlp_tree = warp_params['mlp']
+    trunk = {k: v for k, v in mlp_tree.items() if k.startswith('hidden')}
+    head = mlp_tree['logit']
   else:
     trunk = warp_params['trunk']
     # SE(3): fused or separate w/v heads both map to one (width, 6) head.
@@ -107,10 +114,15 @@ def _apply_warp_fused(params, model, points, warp_ids, warp_extra,
           (i, embed @ k[width + c_pe:].astype(jnp.bfloat16)))
 
   head_params = {'trunk': trunk, 'head': {'logit': head}}
-  out = fused_mlp.warp_trunk_forward(
-      pe.reshape(b * s, c_pe), row_biases, head_params,
-      trunk_depth=trunk_depth, skips=skips, head_key='head',
-      interpret=interpret)
+  if mlp == 'pallas':
+    out = fused_mlp.warp_trunk_forward(
+        pe.reshape(b * s, c_pe), row_biases, head_params,
+        trunk_depth=trunk_depth, skips=skips, head_key='head',
+        interpret=interpret)
+  else:
+    out = fused_mlp.warp_trunk_reference(
+        pe.reshape(b * s, c_pe), row_biases, head_params,
+        trunk_depth=trunk_depth, skips=skips, head_key='head')
   if model.warp_field_type == 'translation':
     return points + out[:, :3].reshape(b, s, 3).astype(points.dtype)
   w = out[:, :3].reshape(b, s, 3)
@@ -144,13 +156,27 @@ def _conditions(params, model, viewdirs, metadata):
 
 
 def _render_level(params, model, level, points, z_vals, directions,
-                  viewdirs, metadata, warp_extra, use_warp, interpret):
-  b, s = points.shape[:2]
+                  viewdirs, metadata, warp_extra, use_warp, interpret,
+                  occupancy=None, keep=None, mlp='xla'):
   if use_warp:
     warp_ids = metadata['warp']
     points = _apply_warp_fused(params, model, points, warp_ids,
-                               warp_extra, interpret)
+                               warp_extra, interpret, mlp=mlp)
 
+  culled = occupancy is not None and keep is not None
+  dists = None
+  if culled:
+    # Empty-space skipping: of the S depth-ordered candidates, only the
+    # first `keep` whose (canonical, post-warp) position falls in an
+    # occupied voxel reach the MLP — a static-shape top-K (occupancy.py).
+    # Kept samples composite with their ORIGINAL ladder spacing.
+    occ = occupancy.query(points)
+    idx = occupancy_lib.select_occupied(occ, z_vals, keep)
+    z_vals, points, dists = occupancy_lib.gather_samples(
+        z_vals, points, idx,
+        rendering.ladder_dists(z_vals, model.use_sample_at_infinity))
+
+  b, s = points.shape[:2]
   pe = encoding.posenc(points, num_freqs=model.num_nerf_point_freqs)
   c_pe = pe.shape[-1]
   rgb_condition, alpha_condition = _conditions(params, model, viewdirs,
@@ -164,10 +190,16 @@ def _render_level(params, model, level, points, z_vals, directions,
     rgb_row_bias = _repeat_rows(
         rgb_condition.astype(jnp.bfloat16), s) @ rgb_k[width:].astype(
             jnp.bfloat16)
-  alpha, rgb_raw = fused_mlp.nerf_mlp_forward(
-      pe.reshape(b * s, c_pe), rgb_row_bias, mlp_params,
-      trunk_depth=model.nerf_trunk_depth, skips=tuple(model.nerf_skips),
-      interpret=interpret)
+  if mlp == 'pallas':
+    alpha, rgb_raw = fused_mlp.nerf_mlp_forward(
+        pe.reshape(b * s, c_pe), rgb_row_bias, mlp_params,
+        trunk_depth=model.nerf_trunk_depth,
+        skips=tuple(model.nerf_skips), interpret=interpret)
+  else:
+    alpha, rgb_raw = fused_mlp.nerf_mlp_reference(
+        pe.reshape(b * s, c_pe), rgb_row_bias, mlp_params,
+        trunk_depth=model.nerf_trunk_depth,
+        skips=tuple(model.nerf_skips))
   raw_sigma = alpha[:, 0].reshape(b, s)
   if alpha_condition is not None:
     alpha_k = mlp_params['alpha_logit']['kernel']
@@ -176,11 +208,15 @@ def _render_level(params, model, level, points, z_vals, directions,
         @ alpha_k[width:].astype(jnp.bfloat16)).astype(jnp.float32)
   rgb = nn.sigmoid(rgb_raw[:, :3].reshape(b, s, 3))
   sigma = model.sigma_activation(raw_sigma)
-  return rendering.volumetric_rendering(
+  out = rendering.volumetric_rendering(
       rgb, sigma, z_vals, directions,
       use_white_background=model.use_white_background,
       sample_at_infinity=model.use_sample_at_infinity,
-      return_weights=True)
+      return_weights=True, dists=dists)
+  if culled:
+    # The kept depth ladder, for the fine level's PDF resampling.
+    out['kept_z_vals'] = z_vals
+  return out
 
 
 def render_rays(params: Dict[str, Any],
@@ -189,12 +225,21 @@ def render_rays(params: Dict[str, Any],
                 model,
                 use_warp: bool = True,
                 return_weights: bool = False,
-                interpret: bool = False) -> Dict[str, Any]:
+                interpret: bool = False,
+                occupancy=None,
+                keep_samples: Optional[Tuple[int, int]] = None,
+                mlp: str = 'xla') -> Dict[str, Any]:
   """Deterministic coarse(+fine) render of a flat ray batch.
 
   Drop-in output contract of `model.apply` at render settings
   (deterministic sampling, no noise): {'coarse': {...}, 'fine'?: {...}}
   with rgb/depth/med_depth/acc (+weights if requested) per level.
+
+  With `occupancy` (an occupancy.OccupancyGrid baked from this model's
+  density) and `keep_samples=(k_coarse, k_fine)`, each level evaluates
+  the MLP on only the first k occupied candidates per ray — empty-space
+  skipping with static shapes (see occupancy.py). Exact up to the grid's
+  build threshold; pass None for either k to leave that level unculled.
   """
   use_warp = use_warp and model.use_warp
   origins = rays_dict['origins']
@@ -202,13 +247,18 @@ def render_rays(params: Dict[str, Any],
   metadata = rays_dict['metadata']
   viewdirs = rays_dict.get('viewdirs', directions)
 
+  keep_coarse, keep_fine = keep_samples or (None, None)
   z_vals, points = rendering.sample_along_rays(
       None, origins, directions, model.num_coarse_samples,
       model.near, model.far, False, model.use_linear_disparity)
   out = {'coarse': _render_level(
       params, model, 'coarse', points, z_vals, directions, viewdirs,
-      metadata, warp_extra, use_warp, interpret)}
+      metadata, warp_extra, use_warp, interpret,
+      occupancy=occupancy, keep=keep_coarse, mlp=mlp)}
 
+  # With coarse culling, z_vals/weights below are already the kept
+  # subset — the PDF then concentrates fine samples inside it.
+  z_vals = out['coarse'].pop('kept_z_vals', z_vals)
   if model.num_fine_samples > 0:
     z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
     z_vals, points = rendering.sample_pdf(
@@ -216,7 +266,9 @@ def render_rays(params: Dict[str, Any],
         origins, directions, z_vals, model.num_fine_samples, False)
     out['fine'] = _render_level(
         params, model, 'fine', points, z_vals, directions, viewdirs,
-        metadata, warp_extra, use_warp, interpret)
+        metadata, warp_extra, use_warp, interpret,
+        occupancy=occupancy, keep=keep_fine, mlp=mlp)
+    out['fine'].pop('kept_z_vals', None)
   if not return_weights:
     for level in out:
       out[level].pop('weights', None)

@@ -226,6 +226,63 @@ def nerf_mlp_forward(x: jnp.ndarray,
   return alpha[:n], rgb[:n]
 
 
+def nerf_mlp_reference(x: jnp.ndarray,
+                       rgb_row_bias: Optional[jnp.ndarray],
+                       params: dict,
+                       *,
+                       trunk_depth: int,
+                       skips: Tuple[int, ...]) -> Tuple[jnp.ndarray,
+                                                        jnp.ndarray]:
+  """Plain-XLA twin of `nerf_mlp_forward` (identical packing/accumulation).
+
+  At render time XLA's per-layer schedule pipelines better on v5e than
+  the Mosaic kernel (157.8k vs 132.4k rays/s at the 32+64 serving
+  preset), so the serving path defaults here; the Pallas pair earns its
+  keep on the training VJP, whose remat-equivalent memory lets full-HD
+  fit in 16 GB where the flax path OOMs (docs/PERFORMANCE.md).
+  """
+  n, c_in = x.shape
+  ops, meta = _nerf_pack(params, c_in, trunk_depth, skips)
+  xp = _pad_last(x, meta['c_pad']).astype(jnp.bfloat16)
+  rb = (None if rgb_row_bias is None
+        else rgb_row_bias.astype(jnp.bfloat16))
+  alpha, rgb, _ = _nerf_fwd_tile(xp, rb, ops, meta)
+  return alpha, rgb
+
+
+def warp_trunk_reference(x: jnp.ndarray,
+                         row_biases: Sequence[Tuple[int, jnp.ndarray]],
+                         params: dict,
+                         *,
+                         trunk_depth: int,
+                         skips: Tuple[int, ...],
+                         head_key: str = 'branches_wv') -> jnp.ndarray:
+  """Plain-XLA twin of `warp_trunk_forward` (same contract)."""
+  n, c_in = x.shape
+  dtype = jnp.bfloat16
+  x = x.astype(dtype)
+  trunk = params['trunk']
+  width = trunk['hidden_0']['kernel'].shape[1]
+  head = params[head_key]['logit']
+  bias_map = dict(row_biases)
+
+  h = None
+  for i in range(trunk_depth):
+    k = trunk[f'hidden_{i}']['kernel'].astype(dtype)
+    if i == 0:
+      acc = _dot(x, k[:c_in])
+    elif i in skips:
+      acc = _dot(h, k[:width]) + _dot(x, k[width:width + c_in])
+    else:
+      acc = _dot(h, k)
+    if i in bias_map:
+      acc = acc + bias_map[i].astype(jnp.float32)
+    acc = acc + trunk[f'hidden_{i}']['bias'].astype(jnp.float32)
+    h = jnp.maximum(acc, 0.0).astype(dtype)
+  out = _dot(h, _pad_last(head['kernel'], 8).astype(dtype))
+  return out + _pad_last(head['bias'], 8).astype(jnp.float32)
+
+
 # ------------------------------------------------- NeRF MLP training VJP
 
 def _nerf_pack(params: dict, c_in: int, trunk_depth: int,

@@ -55,6 +55,17 @@ def sample_along_rays(key: Optional[jax.Array], origins: jnp.ndarray,
   return z_vals, points
 
 
+def ladder_dists(z_vals: jnp.ndarray,
+                 sample_at_infinity: bool) -> jnp.ndarray:
+  """Per-sample depth spacings of a sorted ladder (pre-|dirs| scaling)."""
+  last_sample_z = 1e10 if sample_at_infinity else 1e-19
+  return jnp.concatenate([
+      z_vals[..., 1:] - z_vals[..., :-1],
+      jnp.broadcast_to(jnp.asarray([last_sample_z], dtype=z_vals.dtype),
+                       z_vals[..., :1].shape)
+  ], -1)
+
+
 def volumetric_rendering(rgb: jnp.ndarray,
                          sigma: jnp.ndarray,
                          z_vals: jnp.ndarray,
@@ -62,7 +73,8 @@ def volumetric_rendering(rgb: jnp.ndarray,
                          use_white_background: bool,
                          sample_at_infinity: bool = True,
                          return_weights: bool = False,
-                         eps: float = 1e-10):
+                         eps: float = 1e-10,
+                         dists: Optional[jnp.ndarray] = None):
   """Alpha compositing of per-sample radiance/density into pixels.
 
   Parity: reference model_utils.py:76-136 (including the exclusive-cumprod
@@ -77,17 +89,18 @@ def volumetric_rendering(rgb: jnp.ndarray,
     sample_at_infinity: treat the final sample as a background shell.
     return_weights: include per-sample weights in the output.
     eps: cumprod stabilization epsilon.
+    dists: optional (B, S) per-sample depth spacings overriding the
+      default next-neighbor differences — used by the occupancy-culled
+      render, whose kept samples must keep their ORIGINAL ladder
+      spacing for compositing to match the full ladder (occupancy.py).
+      Scaled by |dirs| here either way.
 
   Returns:
     dict with 'rgb' (B,3), 'depth' (B,), 'med_depth' (B,), 'acc' (B,)
     [, 'weights' (B,S)].
   """
-  last_sample_z = 1e10 if sample_at_infinity else 1e-19
-  dists = jnp.concatenate([
-      z_vals[..., 1:] - z_vals[..., :-1],
-      jnp.broadcast_to(jnp.asarray([last_sample_z], dtype=z_vals.dtype),
-                       z_vals[..., :1].shape)
-  ], -1)
+  if dists is None:
+    dists = ladder_dists(z_vals, sample_at_infinity)
   dists = dists * jnp.linalg.norm(dirs, axis=-1, keepdims=True)
   alpha = 1.0 - jnp.exp(-sigma * dists)
   trans = jnp.concatenate([

@@ -39,6 +39,10 @@ def main():
                       default=(256, 192))
   parser.add_argument('--out', default='docs/quality_curve.json')
   parser.add_argument('--num_train', type=int, default=16)
+  parser.add_argument('--save_params', default='',
+                      help='optional .npz path for the final params '
+                           '(flattened tree) — feeds the occupancy-culled '
+                           'serving bench (scripts/serve_bench.py)')
   args = parser.parse_args()
 
   import bench as B
@@ -174,6 +178,14 @@ def main():
   out_path = pathlib.Path(args.out)
   out_path.write_text(json.dumps(result, indent=2))
   print(f'wrote {out_path}', flush=True)
+
+  if args.save_params:
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(
+        jax.device_get(state.params), sep='/')
+    np.savez(args.save_params, **{k: np.asarray(v)
+                                  for k, v in flat.items()})
+    print(f'saved params to {args.save_params}', flush=True)
 
 
 if __name__ == '__main__':

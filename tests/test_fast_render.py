@@ -75,8 +75,9 @@ def _assert_close(got, want):
           err_msg=f'{level}/{key}')
 
 
+@pytest.mark.parametrize('mlp', ['pallas', 'xla'])
 @pytest.mark.parametrize('field', ['se3', 'translation'])
-def test_fast_render_matches_model(field):
+def test_fast_render_matches_model(field, mlp):
   model, params = _build(warp_field_type=field)
   assert fast_render.supported(model)
   rays = _rays()
@@ -85,7 +86,7 @@ def test_fast_render_matches_model(field):
                      rngs={'coarse': jax.random.PRNGKey(0),
                            'fine': jax.random.PRNGKey(1)})
   got = fast_render.render_rays(params, rays, _WARP_EXTRA, model,
-                                interpret=True)
+                                interpret=True, mlp=mlp)
   _assert_close(got, want)
 
 
@@ -101,7 +102,10 @@ def test_fast_render_no_warp_no_conditions():
                      rngs={'coarse': jax.random.PRNGKey(0),
                            'fine': jax.random.PRNGKey(1)})
   got = fast_render.render_rays(params, rays, _WARP_EXTRA, model,
-                                interpret=True)
+                                interpret=True, mlp='pallas')
+  _assert_close(got, want)
+  got = fast_render.render_rays(params, rays, _WARP_EXTRA, model,
+                                mlp='xla')
   _assert_close(got, want)
 
 
