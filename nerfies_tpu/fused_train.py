@@ -31,7 +31,9 @@ import jax.numpy as jnp
 from nerfies_tpu import fast_render
 from nerfies_tpu.ops import encoding
 from nerfies_tpu.ops import fused_mlp
+from nerfies_tpu.ops import fused_warp
 from nerfies_tpu.ops import rendering
+from nerfies_tpu.ops import rigid
 
 
 def supported(model) -> bool:
@@ -41,6 +43,95 @@ def supported(model) -> bool:
   if model.noise_std is not None:
     return False
   return True
+
+
+def _apply_warp_kernel(model, params, points, warp_metadata, warp_extra,
+                       return_jacobian, points_depend_on_params,
+                       interpret):
+  """SE(3)/translation warp (+ spatial Jacobian) via the fused trunk
+  kernel (ops/fused_warp.py).
+
+  Shares one `jax.linearize` primal for the three posenc tangent columns
+  and one for the SE(3) action, mirroring warping._pointwise_jacobian's
+  semantics exactly (parity pinned by tests/test_fused_warp.py).
+  `points_depend_on_params=False` (the coarse level: raw ray samples
+  carry no parameter dependence) skips the kernel's (N, C) input
+  cotangents entirely.
+  """
+  wf = params['warp_field']
+  kwargs = dict(model.warp_kwargs)
+  b, s = points.shape[:2]
+  n = b * s
+  is_translation = model.warp_field_type == 'translation'
+  if is_translation:
+    trunk_depth = int(kwargs.get('depth', 6))
+    mlp_tree = wf['mlp']
+    trunk = {k: v for k, v in mlp_tree.items() if k.startswith('hidden')}
+    head = mlp_tree['logit']
+  else:
+    trunk_depth = int(kwargs.get('trunk_depth', 6))
+    trunk = wf['trunk']
+    if 'branches_wv' in wf:
+      head = wf['branches_wv']['logit']
+    else:
+      w_l, v_l = wf['branches_w']['logit'], wf['branches_v']['logit']
+      head = {
+          'kernel': jnp.concatenate([w_l['kernel'], v_l['kernel']], -1),
+          'bias': jnp.concatenate([w_l['bias'], v_l['bias']], -1)}
+  skips = tuple(kwargs.get('skips', (4,)))
+
+  table = wf['metadata_encoder']['embed']['embedding']
+  embed = table[warp_metadata[:, 0]]  # (B, F)
+  embed_flat = jnp.repeat(embed, s, axis=0)
+
+  pe_fn = lambda p: encoding.posenc(
+      p, num_freqs=model.num_warp_freqs,
+      min_freq_log2=kwargs.get('min_freq_log2', 0),
+      max_freq_log2=kwargs.get('max_freq_log2'),
+      use_identity=kwargs.get('use_identity_map', True),
+      alpha=warp_extra.get('alpha'))
+  if return_jacobian:
+    pe, pe_jvp = jax.linearize(pe_fn, points)
+    eye = jnp.eye(3, dtype=points.dtype)
+    tangents = tuple(
+        pe_jvp(jnp.broadcast_to(eye[j], points.shape)).reshape(n, -1)
+        for j in range(3))
+  else:
+    pe, tangents = pe_fn(points), ()
+  c_pe = pe.shape[-1]
+
+  kparams = {'trunk': trunk, 'head': {'logit': head}}
+  out, jouts = fused_warp.warp_mlp_train(
+      pe.reshape(n, c_pe), embed_flat, tangents, kparams, trunk_depth,
+      skips, points_depend_on_params, interpret)
+
+  if is_translation:
+    warped = points + out[:, :3].reshape(b, s, 3).astype(points.dtype)
+    ret = {'warped_points': warped}
+    if return_jacobian:
+      eye = jnp.eye(3, dtype=jnp.float32)
+      cols = [jouts[j][:, :3].reshape(b, s, 3) + eye[j]
+              for j in range(3)]
+      ret['jacobian'] = jnp.stack(
+          [jnp.stack([cols[j][..., i] for j in range(3)])
+           for i in range(3)])
+    return ret
+
+  w = out[:, :3].reshape(b, s, 3)
+  v = out[:, 3:6].reshape(b, s, 3)
+  pts32 = points.astype(jnp.float32)
+  if not return_jacobian:
+    return {'warped_points': rigid.se3_apply_raw(w, v, pts32)}
+  warped, se3_jvp = jax.linearize(rigid.se3_apply_raw, w, v, pts32)
+  eye = jnp.eye(3, dtype=jnp.float32)
+  cols = [se3_jvp(jouts[j][:, :3].reshape(b, s, 3),
+                  jouts[j][:, 3:6].reshape(b, s, 3),
+                  jnp.broadcast_to(eye[j], pts32.shape))
+          for j in range(3)]
+  return {'warped_points': warped,
+          'jacobian': jnp.stack(
+              [jnp.stack([cols[j][..., i] for j in range(3)])
+               for i in range(3)])}
 
 
 def _mlp_level(params, model, level, points, z_vals, directions,
@@ -108,9 +199,14 @@ def model_forward(model,
     if return_points:
       out['points'] = points
     if model.use_warp:
-      warp_out = model.apply({'params': params}, points, warp_metadata,
-                             warp_extra, use_warp_jacobian, False,
-                             method=model.apply_warp)
+      # Coarse sample points are raw ray ladder positions with no
+      # parameter dependence, so the warp kernel skips their input
+      # cotangents; fine points flow from the coarse weights' PDF.
+      warp_out = _apply_warp_kernel(
+          model, params, points, warp_metadata, warp_extra,
+          return_jacobian=use_warp_jacobian,
+          points_depend_on_params=(level != 'coarse'),
+          interpret=interpret)
       mlp_points = warp_out['warped_points']
       if 'jacobian' in warp_out:
         out['warp_jacobian'] = warp_out['jacobian']

@@ -50,7 +50,8 @@ def run_step(args):
   from nerfies_tpu.models import nerf
   from nerfies_tpu.parallel import mesh as mesh_lib
 
-  model_config = B.model_config(use_bfloat16=args.bfloat16)
+  model_config = B.model_config(use_bfloat16=args.bfloat16,
+                                use_fused_mlp=args.fused)
   if args.preset == 'fullhd':
     # configs/gpu_fullhd.gin: 256+256 samples, 10 point freqs, batch 4096.
     model_config.num_coarse_samples = 256
@@ -354,6 +355,10 @@ def main():
   p_step.add_argument('--warp_kwargs', default='',
                       help='comma list k=v merged into ModelConfig.'
                            'warp_kwargs, e.g. fuse_branch_heads=false')
+  p_step.add_argument('--fused', action=argparse.BooleanOptionalAction,
+                      default=True,
+                      help='route the step through the fused Pallas MLP '
+                           'and warp kernels (ops/fused_mlp, ops/fused_warp)')
   p_step.add_argument('--trace_dir', default='')
 
   p_render = sub.add_parser('render')

@@ -94,10 +94,11 @@ def test_forward_matches_model_deterministic():
       np.testing.assert_allclose(
           np.asarray(got[level][key]), np.asarray(want[level][key]),
           atol=0.02, rtol=0.05, err_msg=f'{level}/{key}')
-  # The warp runs through the SAME apply_warp path -> exact equality.
-  np.testing.assert_array_equal(
+  # The warp runs through the fused kernel (ops/fused_warp.py): same
+  # math in the same bf16 precision, tight-but-not-bit-equal.
+  np.testing.assert_allclose(
       np.asarray(got['coarse']['warp_jacobian']),
-      np.asarray(want['coarse']['warp_jacobian']))
+      np.asarray(want['coarse']['warp_jacobian']), atol=5e-3, rtol=5e-2)
   np.testing.assert_array_equal(np.asarray(got['coarse']['points']),
                                 np.asarray(want['coarse']['points']))
 
