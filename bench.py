@@ -56,9 +56,11 @@ PEAK_BF16_FLOPS = {
 
 def model_config(use_bfloat16: bool = True,
                  use_stratified_sampling: bool = True,
-                 use_fused_mlp: bool = False):
+                 use_fused_mlp: bool = False,
+                 use_fused_warp: bool = True):
   return configs.ModelConfig(
       use_fused_mlp=use_fused_mlp,
+      use_fused_warp=use_fused_warp,
       num_coarse_samples=128,
       num_fine_samples=128,
       nerf_trunk_depth=8,
@@ -86,8 +88,10 @@ def model_config(use_bfloat16: bool = True,
 
 
 def build_workload(batch_size: int, use_bfloat16: bool = True,
-                   use_fused_mlp: bool = False):
-  config = model_config(use_bfloat16, use_fused_mlp=use_fused_mlp)
+                   use_fused_mlp: bool = False,
+                   use_fused_warp: bool = True):
+  config = model_config(use_bfloat16, use_fused_mlp=use_fused_mlp,
+                        use_fused_warp=use_fused_warp)
   train_config = configs.TrainConfig(
       batch_size=batch_size,
       use_elastic_loss=True,
@@ -197,20 +201,37 @@ def step_flops(batch_size):
   The TPU (axon) backend returns no pre-compile cost analysis and a second
   full compilation just for counting would double the bench's setup time,
   so the step is traced and lowered on the CPU backend in a subprocess
-  (HLO model-FLOPs are backend-independent).
+  (HLO model-FLOPs are backend-independent). The count is memoized in
+  `.flops_cache.json` (committed) keyed by batch size: the lowering takes
+  minutes on a loaded host, and a timeout must not silently drop the MFU
+  column from the bench record.
   """
   import os
+  import pathlib
   import subprocess
   import sys
+  cache_path = pathlib.Path(__file__).parent / '.flops_cache.json'
+  key = str(batch_size)
+  try:
+    cache = json.loads(cache_path.read_text())
+  except Exception:
+    cache = {}
   env = dict(os.environ, JAX_PLATFORMS='cpu', PALLAS_AXON_POOL_IPS='')
   try:
     out = subprocess.run(
         [sys.executable, __file__, '--emit_flops',
          '--batch_size', str(batch_size)],
         env=env, capture_output=True, text=True, timeout=300)
-    return float(json.loads(out.stdout.strip().splitlines()[-1])['flops'])
+    flops = float(json.loads(out.stdout.strip().splitlines()[-1])['flops'])
+    if cache.get(key) != flops:
+      cache[key] = flops
+      try:
+        cache_path.write_text(json.dumps(cache, indent=1) + '\n')
+      except OSError:
+        pass
+    return flops
   except Exception:
-    return None
+    return cache.get(key)
 
 
 def emit_flops(args):
@@ -273,6 +294,12 @@ def main():
                            'MLP kernels (ops/fused_mlp.nerf_mlp_train), '
                            'as configs/tpu_*.gin do (measured 277 vs '
                            '292 ms/step on v5e)')
+  parser.add_argument('--fused_warp', action=argparse.BooleanOptionalAction,
+                      default=True,
+                      help='with --fused: route the warp field through the '
+                           'fused Pallas trunk kernel (ops/fused_warp); '
+                           '--no-fused_warp keeps the flax warp while the '
+                           'NeRF MLPs stay fused (per-kernel attribution)')
   parser.add_argument('--emit_flops', action='store_true',
                       help='internal: print step FLOPs (CPU lowering) '
                            'and exit')
@@ -283,7 +310,8 @@ def main():
     return
 
   model, params, train_config = build_workload(
-      args.batch_size, use_fused_mlp=args.fused)
+      args.batch_size, use_fused_mlp=args.fused,
+      use_fused_warp=args.fused_warp)
   mesh = mesh_lib.create_mesh()
   n_chips = jax.device_count()
   device_kind = jax.devices()[0].device_kind

@@ -98,6 +98,12 @@ class ModelConfig:
   # to the flax path when the architecture is unsupported
   # (fused_train.supported).
   use_fused_mlp: bool = False
+  # When the fused train path is active, also run the warp field's trunk
+  # (primal + 3 Jacobian tangent chains) through the fused Pallas kernel
+  # (ops/fused_warp.warp_mlp_train). Off routes the warp through the flax
+  # module while keeping the fused NeRF MLPs -- a measurement toggle for
+  # attributing on-chip gains per kernel.
+  use_fused_warp: bool = True
 
 
 @gin.configurable

@@ -199,14 +199,19 @@ def model_forward(model,
     if return_points:
       out['points'] = points
     if model.use_warp:
-      # Coarse sample points are raw ray ladder positions with no
-      # parameter dependence, so the warp kernel skips their input
-      # cotangents; fine points flow from the coarse weights' PDF.
-      warp_out = _apply_warp_kernel(
-          model, params, points, warp_metadata, warp_extra,
-          return_jacobian=use_warp_jacobian,
-          points_depend_on_params=(level != 'coarse'),
-          interpret=interpret)
+      if model.use_fused_warp:
+        # Coarse sample points are raw ray ladder positions with no
+        # parameter dependence, so the warp kernel skips their input
+        # cotangents; fine points flow from the coarse weights' PDF.
+        warp_out = _apply_warp_kernel(
+            model, params, points, warp_metadata, warp_extra,
+            return_jacobian=use_warp_jacobian,
+            points_depend_on_params=(level != 'coarse'),
+            interpret=interpret)
+      else:
+        warp_out = model.apply({'params': params}, points, warp_metadata,
+                               warp_extra, use_warp_jacobian, False,
+                               method=model.apply_warp)
       mlp_points = warp_out['warped_points']
       if 'jacobian' in warp_out:
         out['warp_jacobian'] = warp_out['jacobian']

@@ -89,6 +89,7 @@ class NerfModel(nn.Module):
   remat_policy: str = 'dots'
   use_bfloat16: bool = False
   use_fused_mlp: bool = False
+  use_fused_warp: bool = True
   warp_kwargs: Mapping[str, Any] = FrozenDict()
 
   metadata_encoded: bool = False
@@ -401,6 +402,7 @@ def construct_nerf(key,
       remat_policy=config.remat_policy,
       use_bfloat16=config.use_bfloat16,
       use_fused_mlp=config.use_fused_mlp,
+      use_fused_warp=config.use_fused_warp,
   )
 
   # Parameter shapes (and init values) are independent of the ray batch, so

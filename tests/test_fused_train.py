@@ -200,3 +200,26 @@ def test_supported_gating():
   assert not fused_train.supported(model)
   model, _ = _build(use_trunk_condition=True)
   assert not fused_train.supported(model)
+
+
+def test_fused_warp_toggle_parity():
+  """use_fused_warp=False keeps the fused MLPs but routes the warp through
+  the flax module; outputs must match the fully-fused forward."""
+  model_on, params = _build()
+  model_off, _ = _build(use_fused_warp=False)
+  assert model_on.use_fused_warp and not model_off.use_fused_warp
+  batch = {k: jnp.asarray(v) if not isinstance(v, dict) else
+           {kk: jnp.asarray(vv) for kk, vv in v.items()}
+           for k, v in _batch().items()}
+  outs = [fused_train.model_forward(
+      m, params, batch, _WARP_EXTRA, jax.random.PRNGKey(0),
+      jax.random.PRNGKey(1), return_points=True, return_weights=True,
+      interpret=True) for m in (model_on, model_off)]
+  for level in outs[0]:
+    for key in ('rgb', 'depth', 'acc'):
+      np.testing.assert_allclose(
+          np.asarray(outs[0][level][key]), np.asarray(outs[1][level][key]),
+          atol=0.02, rtol=0.05, err_msg=f'{level}/{key}')
+  np.testing.assert_allclose(
+      np.asarray(outs[0]['coarse']['warp_jacobian']),
+      np.asarray(outs[1]['coarse']['warp_jacobian']), atol=5e-3, rtol=5e-2)
