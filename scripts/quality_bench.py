@@ -143,6 +143,7 @@ def main():
   curve = []
   t_start = time.time()
   stats = None
+  prev_pred = None
   for step in range(1, args.steps + 1):
     batch = next(train_iter)
     batch['background_points'] = next(points_iter)
@@ -161,11 +162,26 @@ def main():
         sys.exit(1)
       psnr, ssim, out = eval_psnr(state)
       wall = time.time() - t_start
-      curve.append({'step': step, 'val_psnr': round(psnr, 3),
-                    'val_ms_ssim': round(ssim, 4),
+      pred = np.clip(np.asarray(out['rgb']), 0, 1)
+      # Render-freshness diagnostic: a converging fit must show the
+      # rendered validation view actually changing between evals; a
+      # zero delta means the eval path is reading stale state.
+      delta = (float(np.abs(pred - prev_pred).mean())
+               if prev_pred is not None else float('nan'))
+      prev_pred = pred
+      curve.append({'step': step, 'val_psnr': round(psnr, 5),
+                    'val_ms_ssim': round(ssim, 6),
                     'train_loss': round(loss, 6),
+                    'render_delta': round(delta, 8),
+                    'warp_alpha': round(float(warp_alpha_sched(step)), 3),
                     'wall_s': round(wall, 1)})
       print(json.dumps(curve[-1]), flush=True)
+      if args.save_params:
+        from flax import traverse_util
+        flat = traverse_util.flatten_dict(
+            jax.device_get(state.params), sep='/')
+        np.savez(args.save_params, **{k: np.asarray(v)
+                                      for k, v in flat.items()})
 
   result = {
       'workload': 'quarter-HD-class synthetic (textured, moving sphere)',
