@@ -10,6 +10,7 @@ without COLMAP.
 
 import json
 from pathlib import Path
+from typing import Optional
 
 import numpy as np
 
@@ -64,7 +65,15 @@ def render_sphere_image(camera: cam.Camera,
 
 
 def make_orbit_camera(theta: float, image_size=(64, 48), radius: float = 3.0,
-                      focal: float = 60.0) -> cam.Camera:
+                      focal: Optional[float] = None) -> cam.Camera:
+  # Focal scales with image width to keep the field of view (and so the
+  # subject's footprint in the frame) resolution-independent. A fixed
+  # 60 px focal made 384-wide renders a ~145-degree fisheye in which the
+  # unit sphere covered 0.27% of pixels -- an all-white "fit" then scored
+  # PSNR 29.1 without learning any geometry (measured; see
+  # docs/PERFORMANCE.md quality-curve notes).
+  if focal is None:
+    focal = 60.0 / 64.0 * float(image_size[0])
   position = np.asarray(
       [radius * np.cos(theta), 0.4, radius * np.sin(theta)], np.float32)
   base = cam.Camera(
