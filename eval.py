@@ -19,6 +19,7 @@ from jax import random
 import jax.numpy as jnp
 import numpy as np
 
+from nerfies_tpu import camera as camera_lib
 from nerfies_tpu import checkpoints
 from nerfies_tpu import configs
 from nerfies_tpu import datasets
@@ -83,15 +84,23 @@ def process_batch(*, batch, rng, state, tag, item_id, step, render_fn,
                   lpips_fn=None):
   """Renders one example and logs metrics/images.
 
-  Parity: reference eval.py:83-153.
+  Parity: reference eval.py:83-153. Batches carrying 'camera_params'
+  (+ scalar metadata ids) render through the on-device ray-generation
+  path (evaluation.render_camera: only camera params cross H2D); batches
+  carrying prebuilt 'origins'/'directions' arrays use render_image.
   """
-  rays_dict = {
-      'origins': batch['origins'],
-      'directions': batch['directions'],
-      'metadata': batch['metadata'],
-  }
-  out = evaluation.render_image(state, rays_dict, render_fn, rng=rng,
-                                chunk=chunk)
+  if 'camera_params' in batch:
+    camera = camera_lib.Camera(**batch['camera_params'])
+    out = evaluation.render_camera(state, camera, batch['metadata'],
+                                   render_fn, rng=rng, chunk=chunk)
+  else:
+    rays_dict = {
+        'origins': batch['origins'],
+        'directions': batch['directions'],
+        'metadata': batch['metadata'],
+    }
+    out = evaluation.render_image(state, rays_dict, render_fn, rng=rng,
+                                  chunk=chunk)
   rgb = np.asarray(out['rgb'])
   acc = np.asarray(out['acc'])
   depth_exp = np.asarray(out['depth'])
@@ -220,23 +229,38 @@ def _draw_test_metadata(datasource, model_config, rng):
 
 
 def _test_cameras_iterator(datasource, cameras, model_config, seed=20200823):
-  """Whole-image ray dicts for novel-view cameras with random metadata."""
-  from nerfies_tpu.datasets import core as ds_core
+  """Camera batches for novel-view renders with random metadata ids.
+
+  Rays are generated ON DEVICE (evaluation.render_camera); only the camera
+  parameters and the scalar ids leave the host.
+  """
   rng = np.random.default_rng(seed)
   for camera in cameras:
-    rays = ds_core.camera_to_rays(camera)
-    h, w = rays['directions'].shape[:2]
     metadata_ids = _draw_test_metadata(datasource, model_config, rng)
     logging.info('Test camera metadata: %s', metadata_ids)
-    metadata = {
-        k: np.full((h, w, 1), v, np.float32 if k == 'time' else np.uint32)
-        for k, v in metadata_ids.items()
-    }
     yield {
-        'origins': rays['origins'],
-        'directions': rays['directions'],
-        'metadata': metadata,
+        'camera_params': camera.get_parameters(),
+        'metadata': metadata_ids,
     }
+
+
+def _camera_items_iterator(datasource, item_ids):
+  """Eval batches as camera params + GT images (no host ray generation).
+
+  Replaces the whole-image ray iterator for the val/train sweeps: the
+  ground-truth RGB (and depth, when present) still loads for the metrics,
+  but origins/directions never materialize on the host.
+  """
+  for item_id in item_ids:
+    item = datasource.get_item(item_id)
+    batch = {
+        'camera_params': item['camera_params'],
+        'metadata': item['metadata'],
+        'rgb': image_utils.image_to_float32(item['rgb'][..., :3]),
+    }
+    if 'depth' in item:
+      batch['depth'] = item['depth']
+    yield batch
 
 
 def main(argv):
@@ -299,6 +323,41 @@ def main(argv):
   mesh = mesh_lib.create_mesh()
   render_fn = evaluation.make_render_fn(model, mesh)
 
+  occupancy_ok = False
+  if eval_config.use_occupancy_culling:
+    from nerfies_tpu import fast_render
+    occupancy_ok = (not model.use_stratified_sampling
+                    and fast_render.supported(model))
+    if not occupancy_ok:
+      logging.warning(
+          'EvalConfig.use_occupancy_culling is set but the model is not '
+          'covered by the fused serving path (fast_render.supported); '
+          'rendering unculled.')
+
+  def _bake_occupancy_render_fn(params):
+    """Bakes an occupancy grid from this checkpoint's density field and
+    returns a culling render fn (serving path; see occupancy.py)."""
+    from nerfies_tpu import occupancy
+    points = datasource.load_points()
+    lo, hi = points.min(axis=0), points.max(axis=0)
+    margin = (eval_config.occupancy_bbox_margin * float((hi - lo).max())
+              + eval_config.occupancy_bbox_margin)
+    level = 'fine' if model.num_fine_samples > 0 else 'coarse'
+    interpret = jax.devices()[0].platform != 'tpu'
+    sigma_fn = occupancy.sigma_fn_from_params(params, model, level=level,
+                                              interpret=interpret)
+    grid = occupancy.build_grid(
+        sigma_fn, bbox_min=lo - margin, bbox_max=hi + margin,
+        resolution=eval_config.occupancy_resolution,
+        sigma_threshold=eval_config.occupancy_sigma_threshold)
+    logging.info('Occupancy grid baked: %.1f%% occupied at %d^3.',
+                 100.0 * float(np.asarray(grid.occupied).mean()),
+                 eval_config.occupancy_resolution)
+    return evaluation.make_render_fn(
+        model, mesh, occupancy=grid,
+        keep_samples=(eval_config.occupancy_keep_coarse,
+                      eval_config.occupancy_keep_fine))
+
   lpips_fn = None
   if eval_config.compute_lpips:
     lpips_fn = lpips.LPIPS(weights_path=eval_config.lpips_weights)
@@ -332,11 +391,15 @@ def main(argv):
         warp_alpha=jnp.asarray(warp_alpha_sched(step), jnp.float32),
         time_alpha=jnp.asarray(time_alpha_sched(step), jnp.float32))
     logging.info('Evaluating checkpoint at step %d', step)
+    if occupancy_ok:
+      # The grid depends on the checkpoint's density field, so it (and
+      # the render fn closing over it) re-bakes per checkpoint.
+      render_fn = _bake_occupancy_render_fn(state.params)
 
     save_dir = (render_root / f'{step}') if eval_config.save_output else None
 
     def run_render(tag, ids):
-      iterator = datasource.create_iterator(ids, batch_size=0, repeat=False)
+      iterator = _camera_items_iterator(datasource, ids)
       return process_iterator(
           tag=tag, item_ids=ids, iterator=iterator, rng=rng, state=state,
           step=step, render_fn=render_fn,

@@ -198,3 +198,19 @@ class EvalConfig:
   # docs/PERFORMANCE.md.
   num_coarse_samples: Optional[int] = None
   num_fine_samples: Optional[int] = None
+
+  # Occupancy-grid empty-space skipping (serving acceleration; see
+  # nerfies_tpu/occupancy.py and docs/PERFORMANCE.md's serving table).
+  # Requires the fused serving path (fast_render.supported(model) and
+  # deterministic sampling) — eval logs a warning and renders unculled
+  # otherwise. The grid is re-baked from each restored checkpoint's
+  # density field over the COLMAP point-cloud bounds (+ margin).
+  use_occupancy_culling: bool = False
+  occupancy_resolution: int = 128
+  occupancy_sigma_threshold: float = 0.05
+  # Bounding-box margin as a fraction of the point cloud's largest extent
+  # (plus the same value in absolute scene units).
+  occupancy_bbox_margin: float = 0.2
+  # Samples kept per level after culling; None leaves that level unculled.
+  occupancy_keep_coarse: Optional[int] = None
+  occupancy_keep_fine: Optional[int] = None

@@ -18,6 +18,7 @@ from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
+from nerfies_tpu import camera as camera_lib
 from nerfies_tpu import fast_render
 from nerfies_tpu.parallel import mesh as mesh_lib
 
@@ -93,6 +94,52 @@ def make_render_fn(model, mesh, use_warp: bool = True,
       out_shardings=repl,
       static_argnums=(4,))
 
+  def camera_chunked(params, cam_params, metadata_scalars, warp_extra, rng,
+                     hw, chunk, num_chunks, ret_key=None):
+    """Whole-image render where the RAYS are generated ON DEVICE.
+
+    The host uploads only the camera parameters (~60 B) and per-image
+    metadata scalars; pixel centers come from an iota over the ray index
+    and turn into world rays via the jnp Newton-undistort path
+    (camera.pixels_to_rays). This replaces the reference's host-side ray
+    bundles (/root/reference/nerfies/datasets/core.py:50-75): 24 B/ray of
+    H2D traffic and an O(H*W) host Newton solve both drop to zero.
+    """
+    h, w = hw
+    total = num_chunks * chunk
+    # Padding rays clamp to the last pixel (same edge-padding semantics
+    # as render_image's np.pad(mode='edge')).
+    ray_idx = jnp.minimum(jnp.arange(total), h * w - 1)
+    px = (ray_idx % w).astype(jnp.float32) + 0.5
+    py = (ray_idx // w).astype(jnp.float32) + 0.5
+    directions = camera_lib.pixels_to_rays(
+        jnp.stack([px, py], axis=-1), **cam_params)
+    origins = jnp.broadcast_to(cam_params['position'].astype(jnp.float32),
+                               (total, 3))
+    metadata = {k: jnp.full((total, 1), v, dtype=v.dtype)
+                for k, v in metadata_scalars.items()}
+    rays = {'origins': origins, 'directions': directions.astype(jnp.float32),
+            'metadata': metadata}
+    rays_chunked = jax.tree.map(
+        lambda x: lax.with_sharding_constraint(
+            x.reshape(num_chunks, chunk, x.shape[-1]), chunked_sharding),
+        rays)
+
+    def body(args):
+      idx, chunk_rays = args
+      out = apply_model(params, chunk_rays, warp_extra,
+                        jax.random.fold_in(rng, idx))
+      level = ret_key or ('fine' if 'fine' in out else 'coarse')
+      return out[level]
+
+    return lax.map(body, (jnp.arange(num_chunks), rays_chunked))
+
+  jitted_camera = jax.jit(
+      camera_chunked,
+      in_shardings=(repl, repl, repl, repl, repl),
+      out_shardings=repl,
+      static_argnums=(5, 6, 7, 8))
+
   def run(params, rays_dict, warp_extra, rng=None):
     if rng is None:
       rng = jax.random.PRNGKey(0)
@@ -101,7 +148,73 @@ def make_render_fn(model, mesh, use_warp: bool = True,
 
   run.chunked = jitted_chunked
   run.chunked_sharding = chunked_sharding
+  run.camera_chunked = jitted_camera
   return run
+
+
+def render_camera(
+    state,
+    camera,
+    metadata_ids: Dict[str, Any],
+    model_fn: Callable,
+    rng=None,
+    chunk: int = 8192,
+    device_multiple: Optional[int] = None,
+    default_ret_key: Optional[str] = None) -> Dict[str, np.ndarray]:
+  """Renders a camera's full image with on-device ray generation.
+
+  Unlike `render_image` (which uploads host-built origins/directions,
+  24 B/ray), this uploads only the camera parameters and per-image
+  metadata scalars; rays are generated inside the jitted program. This is
+  the serving path for novel-view rendering (test cameras, render-video).
+
+  Args:
+    state: TrainState (params + warp alphas).
+    camera: a camera.Camera (or anything with .ray_parameters() and
+      .image_shape).
+    metadata_ids: scalar per-image ids, e.g. {'warp': 0, 'appearance': 0,
+      'camera': 0, 'time': 0.3}; uint32 except 'time' (float32).
+    model_fn: callable from `make_render_fn`.
+    rng / chunk / device_multiple / default_ret_key: as `render_image`.
+
+  Returns:
+    Dict of (H, W, ...) numpy maps plus render_time / rays_per_sec.
+  """
+  if rng is None:
+    rng = jax.random.PRNGKey(0)
+  if device_multiple is None:
+    device_multiple = jax.device_count()
+  h, w = camera.image_shape
+  num_rays = h * w
+  chunk += mesh_lib.pad_to_multiple(chunk, device_multiple)
+  chunk = min(chunk, num_rays + mesh_lib.pad_to_multiple(
+      num_rays, device_multiple))
+  padding = mesh_lib.pad_to_multiple(num_rays, chunk)
+  num_chunks = (num_rays + padding) // chunk
+  if default_ret_key:
+    assert default_ret_key in ('fine', 'coarse')
+
+  cam_params = {k: jnp.asarray(v, jnp.float32)
+                for k, v in camera.ray_parameters().items()}
+  metadata_scalars = {
+      k: jnp.asarray(v, jnp.float32 if k == 'time' else jnp.uint32)
+      for k, v in metadata_ids.items()
+  }
+
+  start_time = time.time()
+  out = model_fn.camera_chunked(
+      state.params, cam_params, metadata_scalars, state.warp_extra, rng,
+      (h, w), chunk, num_chunks, default_ret_key)
+  out = jax.device_get(out)
+  out = jax.tree.map(
+      lambda x: x.reshape((num_chunks * chunk, *x.shape[2:]))[:num_rays],
+      out)
+  elapsed = time.time() - start_time
+
+  out = {k: v.reshape((h, w, *v.shape[1:])) for k, v in out.items()}
+  out['render_time'] = elapsed
+  out['rays_per_sec'] = num_rays / max(elapsed, 1e-9)
+  return out
 
 
 def render_image(

@@ -122,6 +122,15 @@ def nerf_mlp_forward(x: jnp.ndarray,
   rgb_logit_b = params['rgb_logit']['bias']
   alpha_logit_k = params['alpha_logit']['kernel']
   alpha_logit_b = params['alpha_logit']['bias']
+  # flax NerfMLP branch routing: a branch reads the bottleneck ONLY when
+  # it has its own condition (modules.py:202-206 — `inputs = [h]` for an
+  # unconditioned branch even when the other branch's condition created
+  # the bottleneck). Condition rows make that branch's first kernel
+  # taller than `width`, so the param shapes encode the routing.
+  alpha_from_bt = has_bottleneck and alpha_logit_k.shape[0] > width
+  rgb_first_k = (params['rgb_hidden_0']['kernel'] if has_rgb_hidden
+                 else rgb_logit_k)
+  rgb_from_bt = has_bottleneck and rgb_first_k.shape[0] > width
 
   weights = []
 
@@ -181,17 +190,18 @@ def nerf_mlp_forward(x: jnp.ndarray,
     else:
       bottleneck = h
 
-    alpha = _dot(bottleneck if has_bottleneck else h, w_refs[i_al][:]) \
+    alpha = _dot(bottleneck if alpha_from_bt else h, w_refs[i_al][:]) \
         + w_refs[i_al_b][:].astype(jnp.float32)
 
+    rgb_src = bottleneck if rgb_from_bt else h
     if has_rgb_hidden:
-      acc = _dot(bottleneck, w_refs[i_rgbh][:]) \
+      acc = _dot(rgb_src, w_refs[i_rgbh][:]) \
           + w_refs[i_rgbh_b][:].astype(jnp.float32)
       if has_rgb_bias:
         acc = acc + bias_ref[:].astype(jnp.float32)
       y = jnp.maximum(acc, 0.0).astype(xt.dtype)
     else:
-      y = bottleneck
+      y = rgb_src
     rgb = _dot(y, w_refs[i_rgbl][:]) + w_refs[i_rgbl_b][:].astype(
         jnp.float32)
 
@@ -297,10 +307,18 @@ def _nerf_pack(params: dict, c_in: int, trunk_depth: int,
   width = params['trunk_hidden_0']['kernel'].shape[1]
   has_bottleneck = 'bottleneck' in params
   rgb_width = params['rgb_hidden_0']['kernel'].shape[1]
+  # Branch routing per flax NerfMLP (modules.py:202-206): a branch reads
+  # the bottleneck only when it carries its own condition, which its
+  # first kernel's extra condition rows encode (see nerf_mlp_forward).
+  alpha_bt = (has_bottleneck
+              and params['alpha_logit']['kernel'].shape[0] > width)
+  rgb_bt = (has_bottleneck
+            and params['rgb_hidden_0']['kernel'].shape[0] > width)
 
   ops = []
   meta = {'c_in': c_in, 'c_pad': c_pad, 'width': width,
           'rgb_width': rgb_width, 'has_bottleneck': has_bottleneck,
+          'alpha_bt': alpha_bt, 'rgb_bt': rgb_bt,
           'trunk_depth': trunk_depth, 'skips': tuple(skips), 'names': []}
 
   def add(name, arr):
@@ -351,10 +369,10 @@ def _nerf_fwd_tile(xt, rb, w, meta, save_acts=False):
     bt = h
   if save_acts:
     acts['bt'] = bt
-  alpha = _dot(bt, get('alpha_logit/w')) + get('alpha_logit/b').astype(
-      jnp.float32)
-  acc = _dot(bt, get('rgb_hidden/w')) + get('rgb_hidden/b').astype(
-      jnp.float32)
+  alpha = (_dot(bt if meta['alpha_bt'] else h, get('alpha_logit/w'))
+           + get('alpha_logit/b').astype(jnp.float32))
+  acc = (_dot(bt if meta['rgb_bt'] else h, get('rgb_hidden/w'))
+         + get('rgb_hidden/b').astype(jnp.float32))
   if rb is not None:
     acc = acc + rb.astype(jnp.float32)
   y = jnp.maximum(acc, 0.0).astype(xt.dtype)
@@ -474,23 +492,34 @@ def _nerf_train_bwd(trunk_depth, skips, interpret, residuals, grads):
       drb_ref[:] = gy.astype(jnp.float32)
 
     bt = acts['bt']
-    g_bt = (_dot_t(gy, get('rgb_hidden/w'))
-            + _dot_t(ga, get('alpha_logit/w'))).astype(dtype)
-    acc_dw('rgb_hidden/w', _dot_at(bt, gy))
+    last = f'h{meta["trunk_depth"] - 1}'
+    h_last = acts[last]
+    # Head inputs per the flax routing recorded in meta: each branch reads
+    # the bottleneck only when it has its own condition (see _nerf_pack).
+    a_src = bt if meta['alpha_bt'] else h_last
+    r_src = bt if meta['rgb_bt'] else h_last
+    acc_dw('rgb_hidden/w', _dot_at(r_src, gy))
     acc_dw('rgb_hidden/b', jnp.sum(gy.astype(jnp.float32), axis=0,
                                    keepdims=True))
-    acc_dw('alpha_logit/w', _dot_at(bt, ga))
+    acc_dw('alpha_logit/w', _dot_at(a_src, ga))
     acc_dw('alpha_logit/b', jnp.sum(ga.astype(jnp.float32), axis=0,
                                     keepdims=True))
 
-    last = f'h{meta["trunk_depth"] - 1}'
+    g_rgb_in = _dot_t(gy, get('rgb_hidden/w'))
+    g_alpha_in = _dot_t(ga, get('alpha_logit/w'))
     if meta['has_bottleneck']:
-      g_h = _dot_t(g_bt, get('bottleneck/w')).astype(dtype)
-      acc_dw('bottleneck/w', _dot_at(acts[last], g_bt))
+      # Split each head's input cotangent between the bottleneck and the
+      # direct trunk output according to its routing.
+      g_bt = ((g_rgb_in if meta['rgb_bt'] else 0.0)
+              + (g_alpha_in if meta['alpha_bt'] else 0.0)).astype(dtype)
+      g_h = ((0.0 if meta['rgb_bt'] else g_rgb_in)
+             + (0.0 if meta['alpha_bt'] else g_alpha_in)
+             + _dot_t(g_bt, get('bottleneck/w'))).astype(dtype)
+      acc_dw('bottleneck/w', _dot_at(h_last, g_bt))
       acc_dw('bottleneck/b', jnp.sum(g_bt.astype(jnp.float32), axis=0,
                                      keepdims=True))
     else:
-      g_h = g_bt
+      g_h = (g_rgb_in + g_alpha_in).astype(dtype)
 
     gx = jnp.zeros((xt.shape[0], c_pad), jnp.float32)
     for i in range(meta['trunk_depth'] - 1, -1, -1):

@@ -90,9 +90,14 @@ def test_fit_synthetic_scene_psnr_rises(scene_dir):
   assert val_psnr > 12.0, f'Validation PSNR too low: {val_psnr}'
 
 
-@pytest.mark.parametrize('entry', ['train', 'eval'])
+@pytest.mark.parametrize('entry', ['train', 'eval', 'eval_occupancy'])
 def test_cli_smoke(scene_dir, tmp_path, entry):
-  """train.py / eval.py run end-to-end on the test_local config."""
+  """train.py / eval.py run end-to-end on the test_local config.
+
+  The 'eval_occupancy' variant exercises the user-reachable serving
+  accelerations: occupancy-grid culling + reduced sample presets
+  (EvalConfig.use_occupancy_culling / occupancy_keep_* fields).
+  """
   base = tmp_path / 'exp'
   env = dict(os.environ)
   env['PALLAS_AXON_POOL_IPS'] = ''  # skip the TPU plugin in subprocesses
@@ -129,8 +134,14 @@ def test_cli_smoke(scene_dir, tmp_path, entry):
   assert (base / 'checkpoints').exists()
   assert (base / 'config.gin').exists()
 
-  if entry == 'eval':
+  if entry.startswith('eval'):
     cmd[1] = str(REPO_ROOT / 'eval.py')
+    if entry == 'eval_occupancy':
+      for b in ('EvalConfig.use_occupancy_culling = True',
+                'EvalConfig.occupancy_resolution = 16',
+                'EvalConfig.occupancy_keep_coarse = 4',
+                'EvalConfig.occupancy_keep_fine = 4'):
+        cmd += ['--gin_bindings', b]
     result = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
                             env=env, cwd=REPO_ROOT)
     assert result.returncode == 0, result.stderr[-3000:]

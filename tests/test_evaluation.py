@@ -95,6 +95,64 @@ def test_render_image_fused_matches_loop():
     np.testing.assert_allclose(fused[k], loop[k], atol=1e-5, err_msg=k)
 
 
+def test_render_camera_matches_host_rays():
+  """On-device ray generation renders the same image as host-built rays.
+
+  The camera path uploads only camera params + metadata scalars; the host
+  path uploads the full (H, W, 3) origins/directions bundle built by the
+  numpy Newton undistort. Both must produce the same pixels (same Newton
+  iteration count on both paths).
+  """
+  from nerfies_tpu import camera as cam
+  from nerfies_tpu.datasets import core as ds_core
+  model, params = _tiny_model()
+  state = training.create_train_state(params, warp_alpha=2.0)
+  mesh = mesh_lib.create_mesh()
+  render_fn = evaluation.make_render_fn(model, mesh)
+
+  h, w = 10, 14
+  camera = cam.Camera(
+      orientation=np.eye(3), position=np.array([0.05, -0.1, -1.0]),
+      focal_length=20.0, principal_point=np.array([w / 2, h / 2]),
+      image_size=np.array([w, h]),
+      radial_distortion=np.array([0.01, -0.005, 0.0]),
+      tangential_distortion=np.array([0.001, -0.002]))
+  metadata_ids = {'warp': 0, 'appearance': 0, 'camera': 0, 'time': 0.25}
+
+  cam_out = evaluation.render_camera(state, camera, metadata_ids,
+                                     render_fn, chunk=32)
+  rays = ds_core.camera_to_rays(camera)
+  rays_dict = {
+      'origins': rays['origins'],
+      'directions': rays['directions'],
+      'metadata': {
+          k: np.full((h, w, 1), v, np.float32 if k == 'time' else np.uint32)
+          for k, v in metadata_ids.items()
+      },
+  }
+  host_out = evaluation.render_image(state, rays_dict, render_fn, chunk=32)
+  for k in ('rgb', 'depth', 'med_depth', 'acc'):
+    np.testing.assert_allclose(cam_out[k], host_out[k], atol=2e-5,
+                               err_msg=k)
+
+
+def test_render_camera_chunk_invariance():
+  from nerfies_tpu import camera as cam
+  model, params = _tiny_model()
+  state = training.create_train_state(params, warp_alpha=2.0)
+  mesh = mesh_lib.create_mesh()
+  render_fn = evaluation.make_render_fn(model, mesh)
+  camera = cam.Camera(
+      orientation=np.eye(3), position=np.array([0.0, 0.0, -1.0]),
+      focal_length=16.0, principal_point=np.array([6.0, 4.0]),
+      image_size=np.array([12, 8]))
+  md = {'warp': 0, 'appearance': 0, 'camera': 0, 'time': 0.0}
+  out1 = evaluation.render_camera(state, camera, md, render_fn, chunk=16)
+  out2 = evaluation.render_camera(state, camera, md, render_fn, chunk=64)
+  np.testing.assert_allclose(out1['rgb'], out2['rgb'], atol=1e-5)
+  np.testing.assert_allclose(out1['depth'], out2['depth'], atol=1e-5)
+
+
 # --- SSIM ---
 
 

@@ -16,37 +16,51 @@ def _nerf_mlp(depth=4, width=64, rgb_width=32, skips=(2,)):
       rgb_branch_width=rgb_width, skips=skips, dtype=jnp.bfloat16)
 
 
-@pytest.mark.parametrize('with_conditions', [True, False])
-def test_nerf_mlp_forward_matches_module(with_conditions):
+# All four condition combinations. The MIXED cases (one branch
+# conditioned, the other not) are load-bearing: flax routes only the
+# conditioned branch through the bottleneck (modules.py:202-206), and a
+# round-3 bug fed BOTH heads from the bottleneck — invisible at random
+# init (sigma ~ softplus(0) either way) but catastrophic on trained
+# params (black renders, the round-4 quality-bench regression).
+_COND_COMBOS = [(0, 0), (5, 7), (0, 7), (5, 0)]
+
+
+def _make_conditions(key, B, alpha_dims, rgb_dims):
+  alpha_cond = (jax.random.normal(jax.random.fold_in(key, 1),
+                                  (B, alpha_dims)) if alpha_dims else None)
+  rgb_cond = (jax.random.normal(jax.random.fold_in(key, 2),
+                                (B, rgb_dims)) if rgb_dims else None)
+  return alpha_cond, rgb_cond
+
+
+@pytest.mark.parametrize('alpha_dims,rgb_dims', _COND_COMBOS)
+def test_nerf_mlp_forward_matches_module(alpha_dims, rgb_dims):
   B, S, C = 4, 16, 27
   depth, width, skips = 4, 64, (2,)
   mlp = _nerf_mlp(depth=depth, width=width, skips=skips)
   key = jax.random.PRNGKey(0)
   x = jax.random.normal(key, (B, S, C), jnp.float32)
-  if with_conditions:
-    alpha_cond = jax.random.normal(jax.random.fold_in(key, 1), (B, 5))
-    rgb_cond = jax.random.normal(jax.random.fold_in(key, 2), (B, 7))
-  else:
-    alpha_cond = rgb_cond = None
+  alpha_cond, rgb_cond = _make_conditions(key, B, alpha_dims, rgb_dims)
   params = mlp.init(key, x, None, alpha_cond, rgb_cond)['params']
   want = mlp.apply({'params': params}, x, None, alpha_cond, rgb_cond)
 
   flat_x = x.reshape(B * S, C).astype(jnp.bfloat16)
-  if with_conditions:
+  if rgb_cond is not None:
     rgb_k = params['rgb_hidden_0']['kernel']
     rgb_bias = (rgb_cond.astype(jnp.bfloat16)
                 @ rgb_k[width:].astype(jnp.bfloat16))  # (B, rgb_width)
     rgb_row_bias = jnp.repeat(rgb_bias, S, axis=0)
+  else:
+    rgb_row_bias = None
+  if alpha_cond is not None:
     alpha_k = params['alpha_logit']['kernel']
     alpha_term = (alpha_cond.astype(jnp.bfloat16)
                   @ alpha_k[width:].astype(jnp.bfloat16))  # (B, 1)
-  else:
-    rgb_row_bias = None
   alpha, rgb = fused_mlp.nerf_mlp_forward(
       flat_x, rgb_row_bias, params, trunk_depth=depth, skips=skips,
       interpret=True)
   sigma = alpha[:, 0].reshape(B, S, 1)
-  if with_conditions:
+  if alpha_cond is not None:
     sigma = sigma + alpha_term.astype(jnp.float32)[:, None, :]
   rgb = rgb[:, :3].reshape(B, S, 3)
 
@@ -55,6 +69,51 @@ def test_nerf_mlp_forward_matches_module(with_conditions):
                              atol=0.05, rtol=0.05)
   np.testing.assert_allclose(np.asarray(rgb), np.asarray(want['rgb']),
                              atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize('alpha_dims,rgb_dims', _COND_COMBOS)
+def test_nerf_mlp_trained_scale_params_match(alpha_dims, rgb_dims):
+  """Forward parity on TRAINED-SCALE params (large weights, f32).
+
+  Random glorot init hides head-routing bugs because sigma saturates to
+  softplus(~0) regardless of which tensor feeds the alpha head; scaling
+  the params to trained magnitudes makes any routing difference O(100)
+  in the raw logits.
+  """
+  B, S, C = 4, 16, 27
+  depth, width, skips = 4, 64, (2,)
+  mlp = modules.NerfMLP(
+      trunk_depth=depth, trunk_width=width, rgb_branch_depth=1,
+      rgb_branch_width=32, skips=skips, dtype=None)  # f32: exact compare
+  key = jax.random.PRNGKey(7)
+  x = jax.random.normal(key, (B, S, C), jnp.float32)
+  alpha_cond, rgb_cond = _make_conditions(key, B, alpha_dims, rgb_dims)
+  params = mlp.init(key, x, None, alpha_cond, rgb_cond)['params']
+  params = jax.tree.map(lambda p: 3.0 * p, params)
+  want = mlp.apply({'params': params}, x, None, alpha_cond, rgb_cond)
+
+  flat_x = x.reshape(B * S, C)
+  if rgb_cond is not None:
+    rgb_k = params['rgb_hidden_0']['kernel']
+    rgb_row_bias = jnp.repeat(rgb_cond @ rgb_k[width:], S, axis=0)
+  else:
+    rgb_row_bias = None
+  alpha, rgb = fused_mlp.nerf_mlp_reference(
+      flat_x, rgb_row_bias, params, trunk_depth=depth, skips=skips)
+  sigma = alpha[:, 0].reshape(B, S, 1)
+  if alpha_cond is not None:
+    alpha_k = params['alpha_logit']['kernel']
+    sigma = sigma + (alpha_cond @ alpha_k[width:])[:, None, :]
+  # bf16 inter-layer storage in the fused path: compare at bf16 relative
+  # scale of the (now large) activations.
+  scale = max(1.0, float(np.abs(np.asarray(want['alpha'])).max()))
+  np.testing.assert_allclose(
+      np.asarray(sigma) / scale, np.asarray(want['alpha']) / scale,
+      atol=0.05)
+  rscale = max(1.0, float(np.abs(np.asarray(want['rgb'])).max()))
+  np.testing.assert_allclose(
+      np.asarray(rgb[:, :3].reshape(B, S, 3)) / rscale,
+      np.asarray(want['rgb']) / rscale, atol=0.05)
 
 
 def test_warp_trunk_forward_matches_mlp():
@@ -108,19 +167,15 @@ def test_ragged_rows_padded():
                              atol=0.05, rtol=0.05)
 
 
-@pytest.mark.parametrize('with_conditions', [True, False])
-def test_nerf_mlp_train_grads_match_module(with_conditions):
+@pytest.mark.parametrize('alpha_dims,rgb_dims', _COND_COMBOS)
+def test_nerf_mlp_train_grads_match_module(alpha_dims, rgb_dims):
   """Custom-VJP fused kernel vs jax.grad through the flax module."""
   B, S, C = 2, 8, 27
   depth, width, skips = 4, 64, (2,)
   mlp = _nerf_mlp(depth=depth, width=width, skips=skips)
   key = jax.random.PRNGKey(3)
   x = jax.random.normal(key, (B, S, C), jnp.float32)
-  if with_conditions:
-    alpha_cond = jax.random.normal(jax.random.fold_in(key, 1), (B, 5))
-    rgb_cond = jax.random.normal(jax.random.fold_in(key, 2), (B, 7))
-  else:
-    alpha_cond = rgb_cond = None
+  alpha_cond, rgb_cond = _make_conditions(key, B, alpha_dims, rgb_dims)
   params = mlp.init(key, x, None, alpha_cond, rgb_cond)['params']
 
   def loss_module(params, x):
@@ -130,7 +185,7 @@ def test_nerf_mlp_train_grads_match_module(with_conditions):
   def loss_fused(params, x):
     bf16 = jnp.bfloat16
     flat_x = x.reshape(B * S, C)
-    if with_conditions:
+    if rgb_cond is not None:
       rgb_k = params['rgb_hidden_0']['kernel']
       rgb_row_bias = jnp.repeat(
           rgb_cond.astype(bf16) @ rgb_k[width:].astype(bf16), S, axis=0)
@@ -139,7 +194,7 @@ def test_nerf_mlp_train_grads_match_module(with_conditions):
     alpha, rgb = fused_mlp.nerf_mlp_train(
         flat_x.astype(bf16), rgb_row_bias, params, depth, skips, True)
     sigma = alpha[:, :1].reshape(B, S, 1)
-    if with_conditions:
+    if alpha_cond is not None:
       alpha_k = params['alpha_logit']['kernel']
       sigma = sigma + (alpha_cond.astype(bf16)
                        @ alpha_k[width:].astype(bf16)).astype(
