@@ -12,11 +12,15 @@ implements the LPIPS computation graph (Zhang et al. 2018) natively:
 
 Weights load from an .npz produced by `convert_torch_weights` (run it once
 on a machine with the `lpips` pip package to export the official
-calibrated tensors). Without a weights file the network falls back to a
-seeded random-feature distance -- the LPIPS paper (sec. 5.4) shows
-randomly-initialized nets already track perceptual similarity, and the
-fallback is clearly flagged so reported numbers are never silently
-miscalibrated.
+calibrated tensors; this build environment has zero egress and no cached
+torch weights, so the file cannot be produced here -- see docs/LPIPS.md).
+Without a weights file the network falls back to a seeded random-feature
+distance -- the LPIPS paper (sec. 5.4) shows randomly-initialized nets
+already track perceptual similarity, and the fallback is clearly flagged
+(`lpips_uncal`) so reported numbers are never silently miscalibrated. The
+fallback's perceptual behavior is pinned on a 12-pair distortion ladder
+in tests/test_lpips.py (monotone per family; Spearman 1.0 vs MS-SSIM
+within family, 0.70 mixed).
 """
 
 from typing import Dict, Optional, Sequence, Tuple

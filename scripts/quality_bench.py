@@ -51,6 +51,12 @@ def main():
                       help='optional .npz path for the final params '
                            '(flattened tree) — feeds the occupancy-culled '
                            'serving bench (scripts/serve_bench.py)')
+  parser.add_argument('--fused', action=argparse.BooleanOptionalAction,
+                      default=True,
+                      help='train through the fused Pallas custom-VJP MLP '
+                           'kernels (the tpu_*.gin flagship path); the '
+                           'recorded curve then doubles as end-to-end '
+                           'gradient evidence for the fused path')
   args = parser.parse_args()
 
   import bench as B
@@ -80,7 +86,9 @@ def main():
       image_scale=1, use_appearance_id=True, use_camera_id=True,
       use_warp_id=True, random_seed=0)
 
-  model_config = B.model_config(use_bfloat16=True)
+  model_config = B.model_config(use_bfloat16=True,
+                                use_fused_mlp=args.fused,
+                                use_fused_warp=args.fused)
   train_config = configs.TrainConfig(
       batch_size=args.batch_size,
       use_elastic_loss=True,

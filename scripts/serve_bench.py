@@ -32,7 +32,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--params', default='/tmp/quality_params.npz')
-  parser.add_argument('--scene_dir', default='/tmp/quality_scene')
+  parser.add_argument('--scene_dir', default='/tmp/quality_scene_hard')
   parser.add_argument('--chunk', type=int, default=8192)
   parser.add_argument('--grid_resolution', type=int, default=128)
   parser.add_argument('--sigma_threshold', type=float, default=0.05)

@@ -160,3 +160,102 @@ def test_known_value_regression(metric):
   # Values recorded at the padding-fixed revision (round 3).
   assert d1 == pytest.approx(0.0226259, rel=2e-3), d1
   assert d2 == pytest.approx(0.0021823, rel=2e-3), d2
+
+
+# ---- Uncalibrated-fallback perceptual correlation -----------------------
+# The official calibrated tensors are unobtainable in this environment
+# (zero egress; no torchvision/lpips packages or torch caches on disk —
+# see docs/LPIPS.md), so the shipped fallback is the seeded random-feature
+# net that the LPIPS paper (sec 5.4, "random networks") shows already
+# tracks perceptual similarity. These tests pin that claim for OUR
+# fallback on a known distortion pair-set: distances must grow
+# monotonically with distortion severity within each distortion family,
+# and the mixed-set ranking must agree with the MS-SSIM ranking.
+
+
+def _structured_image(h=96, w=96):
+  """A textured base image (edges + smooth shading, not iid noise)."""
+  yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                       indexing='ij')
+  r = 0.5 + 0.5 * np.sin(14 * xx) * np.cos(10 * yy)
+  g = np.clip(xx + 0.3 * np.sin(20 * yy), 0, 1)
+  b = ((np.floor(xx * 6) + np.floor(yy * 6)) % 2)
+  return np.stack([r, g, b], -1).astype(np.float32)
+
+
+def _blur(img, iterations):
+  out = img.astype(np.float32)
+  for _ in range(iterations):
+    p = np.pad(out, ((1, 1), (1, 1), (0, 0)), mode='edge')
+    out = (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]
+           + p[1:-1, 1:-1]) / 5.0
+  return out
+
+
+def _distortion_ladder():
+  """(name, severity, distorted) triples over a structured base image."""
+  base = _structured_image()
+  rng = np.random.RandomState(0)
+  noise = rng.randn(*base.shape).astype(np.float32)
+  ladder = []
+  for s, sigma in enumerate((0.03, 0.08, 0.15, 0.3)):
+    ladder.append(('noise', s, np.clip(base + sigma * noise, 0, 1)))
+  for s, it in enumerate((1, 3, 8, 20)):
+    ladder.append(('blur', s, _blur(base, it)))
+  for s, a in enumerate((0.85, 0.65, 0.45, 0.25)):
+    ladder.append(('contrast', s, a * (base - 0.5) + 0.5))
+  return base, ladder
+
+
+def test_fallback_monotone_in_distortion_severity(metric):
+  base, ladder = _distortion_ladder()
+  by_type = {}
+  for name, severity, img in ladder:
+    by_type.setdefault(name, []).append((severity, metric(base, img)))
+  for name, rows in by_type.items():
+    dists = [d for _, d in sorted(rows)]
+    assert all(a < b for a, b in zip(dists, dists[1:])), (name, dists)
+
+
+def _spearman(xs, ys):
+  def ranks(v):
+    order = np.argsort(v)
+    r = np.empty(len(v))
+    r[order] = np.arange(len(v))
+    return r
+  rx, ry = ranks(xs), ranks(ys)
+  n = len(xs)
+  return 1 - 6 * np.sum((rx - ry) ** 2) / (n * (n ** 2 - 1))
+
+
+def test_fallback_ranking_agrees_with_ms_ssim(metric):
+  """Spearman rank correlation vs MS-SSIM over the distortion pair-set.
+
+  MS-SSIM is itself a validated perceptual metric. Within each
+  distortion family the two metrics must order severities identically
+  (rho = 1.0). Across families the mixed-set rho is weaker by nature --
+  equating 'how bad is this much blur vs this much noise' is exactly
+  where perceptual metrics (calibrated ones included) disagree -- so the
+  mixed-set floor is 0.5 and the measured value (~0.70 at this revision)
+  is recorded in docs/LPIPS.md."""
+  import jax.numpy as jnp
+  from nerfies_tpu.ops import ssim as ssim_ops
+
+  base, ladder = _distortion_ladder()
+  rows = []
+  for name, severity, img in ladder:
+    num_scales = ssim_ops.max_feasible_scales(*base.shape[:2])
+    weights = ssim_ops.MSSSIM_WEIGHTS[:num_scales]
+    weights = tuple(w / sum(weights) for w in weights)
+    ms = 1.0 - float(ssim_ops.multiscale_ssim(
+        jnp.asarray(base), jnp.asarray(img), weights=weights))
+    rows.append((name, severity, metric(base, img), ms))
+
+  for family in ('noise', 'blur', 'contrast'):
+    fam = [(lp, ms) for name, _, lp, ms in rows if name == family]
+    rho = _spearman([lp for lp, _ in fam], [ms for _, ms in fam])
+    assert rho == pytest.approx(1.0), (family, fam)
+
+  mixed = _spearman([lp for _, _, lp, _ in rows],
+                    [ms for _, _, _, ms in rows])
+  assert mixed >= 0.5, (mixed, rows)
