@@ -252,7 +252,14 @@ def emit_flops(args):
 
 
 def bench_render(args, mesh):
-  """Full-image render throughput at the eval configuration."""
+  """Full-image render throughput at the eval configuration.
+
+  Sweeps the ray-chunk size (throughput once scaled 19.4k -> 91.4k
+  rays/s across 8k -> 32k chunks, docs/PERFORMANCE.md) and reports the
+  best configuration plus the whole sweep, so the recorded number is
+  the framework's actual serving throughput rather than an arbitrary
+  chunk's.
+  """
   config = model_config(use_stratified_sampling=False)
   model, params = nerf.construct_nerf(
       jax.random.PRNGKey(0), config, batch_size=8192,
@@ -274,9 +281,13 @@ def bench_render(args, mesh):
       },
   }
   render_fn = evaluation.make_render_fn(model, mesh)
-  evaluation.render_image(state, rays, render_fn, chunk=args.chunk)  # warm
-  out = evaluation.render_image(state, rays, render_fn, chunk=args.chunk)
-  return out['rays_per_sec']
+  sweep = {}
+  for chunk in args.render_chunks:
+    evaluation.render_image(state, rays, render_fn, chunk=chunk)  # warm
+    out = evaluation.render_image(state, rays, render_fn, chunk=chunk)
+    sweep[chunk] = out['rays_per_sec']
+  best_chunk = max(sweep, key=sweep.get)
+  return sweep[best_chunk], best_chunk, sweep
 
 
 def main():
@@ -285,7 +296,10 @@ def main():
   parser.add_argument('--warmup_steps', type=int, default=3)
   parser.add_argument('--bench_steps', type=int, default=20)
   parser.add_argument('--render_size', type=int, default=384)
-  parser.add_argument('--chunk', type=int, default=8192)
+  parser.add_argument('--render_chunks', type=int, nargs='+',
+                      default=[8192, 16384, 32768],
+                      help='render chunk sizes to sweep; the best one is '
+                           'reported as the headline render number')
   parser.add_argument('--skip_data', action='store_true')
   parser.add_argument('--skip_render', action='store_true')
   parser.add_argument('--fused', action=argparse.BooleanOptionalAction,
@@ -357,9 +371,12 @@ def main():
         e2e_steps_per_sec * args.batch_size / n_chips, 1)
 
   if not args.skip_render:
-    render_rays_per_sec = bench_render(args, mesh)
+    render_rays_per_sec, best_chunk, sweep = bench_render(args, mesh)
     result['render_rays_per_sec_per_chip'] = round(
         render_rays_per_sec / n_chips, 1)
+    result['render_best_chunk'] = best_chunk
+    result['render_chunk_sweep'] = {
+        str(k): round(v / n_chips, 1) for k, v in sweep.items()}
     result['projected_1080p_frame_seconds_per_chip'] = round(
         1920 * 1080 / (render_rays_per_sec / n_chips), 2)
 

@@ -324,8 +324,14 @@ class Camera:
     points = points.reshape((-1, 3))
     local_points = self.points_to_local_points(points)
 
-    x = local_points[..., 0] / local_points[..., 2]
-    y = local_points[..., 1] / local_points[..., 2]
+    # Points at (or behind) the camera plane have no projection; guard
+    # the divide so z<=0 points map to finite garbage instead of
+    # RuntimeWarning-spewing inf/nan (callers mask by depth, and the
+    # capture pipeline's visibility filtering tripped the warnings).
+    z = local_points[..., 2]
+    safe_z = np.where(np.abs(z) < 1e-8, 1e-8, z)
+    x = local_points[..., 0] / safe_z
+    y = local_points[..., 1] / safe_z
     r2 = x ** 2 + y ** 2
 
     k1, k2, k3 = self.radial_distortion

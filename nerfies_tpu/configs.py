@@ -37,6 +37,13 @@ class ModelConfig:
   use_sample_at_infinity: bool = True
   # The standard deviation of the alpha noise.
   noise_std: Optional[float] = None
+  # Widened-sigmoid rgb padding: rgb = sigmoid(x)*(1+2p) - p. With p=0
+  # (reference parity) a pure-0/1 target pixel drives its logit toward
+  # +/-inf until sigmoid saturates EXACTLY in f32 and its gradient dies
+  # bitwise — measured killing a 90%-white synthetic fit dead at step
+  # ~2k (docs/PERFORMANCE.md). p>0 (e.g. 0.001, the multinerf setting)
+  # gives saturated targets a finite-logit optimum.
+  rgb_padding: float = 0.0
 
   # Trunk depth/width of the NeRF MLP.
   nerf_trunk_depth: int = 8

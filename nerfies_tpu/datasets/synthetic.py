@@ -18,11 +18,33 @@ from nerfies_tpu import camera as cam
 from nerfies_tpu import image_utils
 
 
+ENV_RADIUS = 4.0
+
+
+def _env_color(directions: np.ndarray) -> np.ndarray:
+  """Procedural environment-sphere texture for unit hit points (..., 3).
+
+  Mid-range ([~0.1, 0.9]) multi-band colors: no pixel sits at an exact
+  0/1 sigmoid asymptote, so the trivial constant fit scores badly and
+  head logits have a finite-logit optimum (see the saturation-collapse
+  note in write_synthetic_dataset).
+  """
+  u = directions
+  r = 0.5 + 0.25 * np.sin(3.1 * u[..., 0] + 1.7 * u[..., 2]) \
+      + 0.15 * np.sin(7.3 * u[..., 1])
+  g = 0.5 + 0.25 * np.sin(2.3 * u[..., 1] - 1.1 * u[..., 0]) \
+      + 0.15 * np.sin(6.1 * u[..., 2] + 0.9)
+  b = 0.5 + 0.25 * np.sin(2.9 * u[..., 2] + 2.1 * u[..., 1]) \
+      + 0.15 * np.sin(5.7 * u[..., 0] + 2.0)
+  return np.clip(np.stack([r, g, b], axis=-1), 0.05, 0.95)
+
+
 def render_sphere_image(camera: cam.Camera,
                         sphere_center=(0.0, 0.0, 0.0),
                         sphere_radius: float = 0.5,
                         background: float = 1.0,
                         texture_frequency: float = 0.0,
+                        env_background: bool = False,
                         return_depth: bool = False) -> np.ndarray:
   """Analytically renders a normal-shaded sphere seen by `camera`.
 
@@ -31,8 +53,16 @@ def render_sphere_image(camera: cam.Camera,
   rigidly with the sphere), giving the quality benchmark high-frequency
   detail to actually resolve; 0 keeps the plain normal-shaded sphere.
 
+  `env_background=True` replaces the constant background with a static
+  textured environment sphere (radius ENV_RADIUS, origin-centered) so
+  every ray terminates on learnable geometry with mid-range colors —
+  the capture-like regime. A constant background of exactly 1.0 makes
+  the scene 90% pure white, whose fastest-descent fit drives the rgb
+  sigmoid into exact f32 saturation and kills every NeRF-MLP gradient
+  bitwise (diagnosed round 4; see docs/PERFORMANCE.md).
+
   With `return_depth`, also returns the ray-distance depth map (0 where
-  the ray misses the sphere, matching eval's valid-depth convention).
+  the ray misses all geometry, matching eval's valid-depth convention).
   """
   rays = camera.pixels_to_rays(camera.get_pixel_centers())
   origins = np.broadcast_to(camera.position, rays.shape)
@@ -56,11 +86,22 @@ def render_sphere_image(camera: cam.Camera,
                + 0.5 * np.sin(2.3 * k * normals[..., 0])
                * np.sin(1.7 * k * normals[..., 2]))
     color = color * (0.65 + 0.35 * np.tanh(pattern))[..., None]
-  image = np.full(rays.shape, background, np.float32)
+  if env_background:
+    # Env sphere |o + t d| = R, camera inside: take the positive root.
+    be = np.sum(origins * rays, axis=-1)
+    ce = np.sum(origins * origins, axis=-1) - ENV_RADIUS ** 2
+    t_env = -be + np.sqrt(np.maximum(be * be - ce, 0.0))
+    env_pts = (origins + t_env[..., None] * rays) / ENV_RADIUS
+    image = _env_color(env_pts)
+    depth_bg = t_env
+  else:
+    image = np.full(rays.shape, background, np.float32)
+    depth_bg = np.zeros_like(t)
+  image = image.copy()
   image[hit] = color[hit]
   image = np.clip(image, 0.0, 1.0)
   if return_depth:
-    return image, np.where(hit, t, 0.0).astype(np.float32)
+    return image, np.where(hit, t, depth_bg).astype(np.float32)
   return image
 
 
@@ -93,6 +134,7 @@ def write_synthetic_dataset(data_dir,
                             image_scales=(1,),
                             motion_amplitude: float = 0.0,
                             texture_frequency: float = 0.0,
+                            env_background: bool = False,
                             num_points: int = 256,
                             write_depth: bool = False,
                             seed: int = 0) -> Path:
@@ -107,6 +149,11 @@ def write_synthetic_dataset(data_dir,
       warp field something to learn; 0 = static scene).
     texture_frequency: procedural surface-texture frequency (see
       `render_sphere_image`); 0 = plain shading.
+    env_background: render a static textured environment sphere instead
+      of the constant white background (see `render_sphere_image`; the
+      scene's far plane extends to cover it). Use for quality/convergence
+      benchmarks — a 90%-pure-white target collapses training into exact
+      rgb-sigmoid saturation.
     num_points: background points written to points.npy.
     seed: rng seed for the background points.
 
@@ -130,6 +177,7 @@ def write_synthetic_dataset(data_dir,
     image, depth = render_sphere_image(camera,
                                        sphere_center=(offset, 0.0, 0.0),
                                        texture_frequency=texture_frequency,
+                                       env_background=env_background,
                                        return_depth=True)
     for scale in image_scales:
       rgb_dir = data_dir / 'rgb' / f'{scale}x'
@@ -173,7 +221,10 @@ def write_synthetic_dataset(data_dir,
         'center': [0.0, 0.0, 0.0],
         'scale': 1.0,
         'near': 1.5,
-        'far': 4.5,
+        # Env-background rays terminate on the ENV_RADIUS sphere, up to
+        # |camera| + ENV_RADIUS away — the far plane must reach it or
+        # the background is unfittable (and training re-collapses).
+        'far': 7.5 if env_background else 4.5,
     }, f, indent=2)
 
   with open(data_dir / 'metadata.json', 'w') as f:

@@ -207,6 +207,8 @@ def _render_level(params, model, level, points, z_vals, directions,
         alpha_condition.astype(jnp.bfloat16)
         @ alpha_k[width:].astype(jnp.bfloat16)).astype(jnp.float32)
   rgb = nn.sigmoid(rgb_raw[:, :3].reshape(b, s, 3))
+  if model.rgb_padding:
+    rgb = rgb * (1.0 + 2.0 * model.rgb_padding) - model.rgb_padding
   sigma = model.sigma_activation(raw_sigma)
   out = rendering.volumetric_rendering(
       rgb, sigma, z_vals, directions,

@@ -15,8 +15,10 @@ Behavioral notes vs `model.apply`:
     flax's `make_rng` folding — statistically identical, not bit-equal.
     Deterministic sampling is bit-comparable (pinned by
     tests/test_fused_train.py).
-  - `noise_std` regularization is not supported (all shipped configs
-    leave it None); `supported()` gates on it.
+  - `noise_std` density regularization applies post-kernel (raw sigma is
+    plain jnp by then) with a key folded from the level's sampling key
+    instead of flax's `make_rng(level)` stream — again statistically
+    identical, not bit-equal.
 
 Enable via `ModelConfig.use_fused_mlp` (train.py / bench.py plumb it to
 `training.train_step`, which routes here when the model opts in).
@@ -38,11 +40,7 @@ from nerfies_tpu.ops import rigid
 
 def supported(model) -> bool:
   """Whether the fused training path covers this model architecture."""
-  if not fast_render.supported(model):
-    return False
-  if model.noise_std is not None:
-    return False
-  return True
+  return fast_render.supported(model)
 
 
 def _apply_warp_kernel(model, params, points, warp_metadata, warp_extra,
@@ -135,7 +133,8 @@ def _apply_warp_kernel(model, params, points, warp_metadata, warp_extra,
 
 
 def _mlp_level(params, model, level, points, z_vals, directions,
-               rgb_condition, alpha_condition, return_weights, interpret):
+               rgb_condition, alpha_condition, return_weights, interpret,
+               noise_key=None):
   b, s = points.shape[:2]
   pe = encoding.posenc(points, num_freqs=model.num_nerf_point_freqs)
   c_pe = pe.shape[-1]
@@ -158,6 +157,15 @@ def _mlp_level(params, model, level, points, z_vals, directions,
         alpha_condition.astype(bf16)
         @ alpha_k[width:].astype(bf16)).astype(jnp.float32)
   rgb = nn.sigmoid(rgb_raw[:, :3].reshape(b, s, 3))
+  if model.rgb_padding:
+    rgb = rgb * (1.0 + 2.0 * model.rgb_padding) - model.rgb_padding
+  # noise_std regularization lives OUTSIDE the kernel: raw sigma is
+  # already a plain jnp array here, so the fused path adds the same
+  # gaussian perturbation the flax model does (models/nerf.py:246-249)
+  # with no kernel change.
+  raw_sigma = rendering.noise_regularize(
+      noise_key, raw_sigma, model.noise_std,
+      model.use_stratified_sampling)
   sigma = model.sigma_activation(raw_sigma)
   return rendering.volumetric_rendering(
       rgb, sigma, z_vals, directions,
@@ -194,7 +202,12 @@ def model_forward(model,
       else metadata['warp'])
 
   def level_outputs(level, points, z_vals, use_warp_jacobian,
-                    want_weights):
+                    want_weights, sample_key=None):
+    # Density-noise key: the flax model draws a distinct `make_rng(level)`
+    # stream; here the level's sampling key is folded — statistically
+    # identical, not bit-equal (same note as the stratified jitter above).
+    noise_key = (jax.random.fold_in(sample_key, 0x5e11)
+                 if sample_key is not None else None)
     out = {}
     if return_points:
       out['points'] = points
@@ -221,7 +234,7 @@ def model_forward(model,
       mlp_points = points
     out.update(_mlp_level(params, model, level, mlp_points, z_vals,
                           directions, rgb_condition, alpha_condition,
-                          want_weights, interpret))
+                          want_weights, interpret, noise_key=noise_key))
     return out
 
   z_vals, points = rendering.sample_along_rays(
@@ -231,7 +244,8 @@ def model_forward(model,
       model.use_linear_disparity)
   out = {'coarse': level_outputs(
       'coarse', points, z_vals,
-      use_warp_jacobian=model.use_warp_jacobian, want_weights=True)}
+      use_warp_jacobian=model.use_warp_jacobian, want_weights=True,
+      sample_key=coarse_key)}
 
   return_weights_out = model.use_weights or return_weights
   if model.num_fine_samples > 0:
@@ -243,7 +257,7 @@ def model_forward(model,
         model.use_stratified_sampling)
     out['fine'] = level_outputs(
         'fine', points, z_vals, use_warp_jacobian=False,
-        want_weights=return_weights_out)
+        want_weights=return_weights_out, sample_key=fine_key)
   if not return_weights_out:
     del out['coarse']['weights']
   return out

@@ -49,6 +49,7 @@ class NerfModel(nn.Module):
   near: float
   far: float
   noise_std: Optional[float]
+  rgb_padding: float
   nerf_trunk_depth: int
   nerf_trunk_width: int
   nerf_rgb_branch_depth: int
@@ -248,6 +249,10 @@ class NerfModel(nn.Module):
                                  self.use_stratified_sampling) else None,
         raw_sigma, self.noise_std, self.use_stratified_sampling)
     rgb = nn.sigmoid(raw['rgb'])
+    if self.rgb_padding:
+      # Widened sigmoid (see configs.ModelConfig.rgb_padding): keeps a
+      # finite-logit optimum for saturated 0/1 targets.
+      rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
     sigma = self.sigma_activation(raw_sigma)
     out.update(rendering.volumetric_rendering(
         rgb,
@@ -365,6 +370,7 @@ def construct_nerf(key,
       near=near,
       far=far,
       noise_std=config.noise_std,
+      rgb_padding=config.rgb_padding,
       nerf_trunk_depth=config.nerf_trunk_depth,
       nerf_trunk_width=config.nerf_trunk_width,
       nerf_rgb_branch_depth=config.nerf_rgb_branch_depth,

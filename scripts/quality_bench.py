@@ -36,7 +36,7 @@ def main():
   parser.add_argument('--steps', type=int, default=20000)
   parser.add_argument('--eval_every', type=int, default=2000)
   parser.add_argument('--batch_size', type=int, default=6144)
-  parser.add_argument('--scene_dir', default='/tmp/quality_scene_hard')
+  parser.add_argument('--scene_dir', default='/tmp/quality_scene_env')
   parser.add_argument('--image_size', type=int, nargs=2,
                       default=(384, 288))
   parser.add_argument('--out', default='docs/quality_curve.json')
@@ -74,11 +74,16 @@ def main():
 
   scene = pathlib.Path(args.scene_dir)
   if not (scene / 'dataset.json').exists():
+    # env_background: a constant-white background collapses training
+    # into exact rgb-sigmoid saturation (round-4 diagnosis) AND is
+    # nothing like a real capture; the textured environment sphere
+    # keeps every ray on learnable mid-range-color geometry.
     synthetic.write_synthetic_dataset(
         scene, num_train=args.num_train, num_val=2,
         image_size=tuple(args.image_size),
         motion_amplitude=args.motion_amplitude,
-        texture_frequency=args.texture_frequency, num_points=16384)
+        texture_frequency=args.texture_frequency,
+        env_background=True, num_points=16384)
     print('scene written', flush=True)
 
   datasource = datasets.from_config(
@@ -89,6 +94,7 @@ def main():
   model_config = B.model_config(use_bfloat16=True,
                                 use_fused_mlp=args.fused,
                                 use_fused_warp=args.fused)
+  model_config.rgb_padding = 0.001  # as configs/tpu_*.gin
   train_config = configs.TrainConfig(
       batch_size=args.batch_size,
       use_elastic_loss=True,
@@ -124,9 +130,12 @@ def main():
       points, batch_size=min(len(points), 16384), shuffle=True, seed=0,
       prefetch_size=3)
 
+  eval_config = B.model_config(use_bfloat16=True,
+                               use_stratified_sampling=False)
+  eval_config.rgb_padding = model_config.rgb_padding
   eval_model, _ = nerf.construct_nerf(
       jax.random.PRNGKey(0),
-      B.model_config(use_bfloat16=True, use_stratified_sampling=False),
+      eval_config,
       batch_size=8192,
       appearance_ids=datasource.appearance_ids,
       camera_ids=datasource.camera_ids,

@@ -32,7 +32,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--params', default='/tmp/quality_params.npz')
-  parser.add_argument('--scene_dir', default='/tmp/quality_scene_hard')
+  parser.add_argument('--scene_dir', default='/tmp/quality_scene_env')
   parser.add_argument('--chunk', type=int, default=8192)
   parser.add_argument('--grid_resolution', type=int, default=128)
   parser.add_argument('--sigma_threshold', type=float, default=0.05)
@@ -62,6 +62,7 @@ def main():
   def build_model(coarse, fine):
     config = B.model_config(use_bfloat16=True,
                             use_stratified_sampling=False)
+    config.rgb_padding = 0.001  # as the quality_bench training config
     config.num_coarse_samples = coarse
     config.num_fine_samples = fine
     model, _ = nerf.construct_nerf(

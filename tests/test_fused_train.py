@@ -197,9 +197,40 @@ def test_stratified_sampling_runs():
 
 def test_supported_gating():
   model, _ = _build(noise_std=0.1)
-  assert not fused_train.supported(model)
+  assert fused_train.supported(model)  # noise applies post-kernel
   model, _ = _build(use_trunk_condition=True)
   assert not fused_train.supported(model)
+
+
+def test_noise_std_regularization():
+  """Fused-path density noise: per-key stochastic when stratified, off
+  when deterministic, and mean-preserving at small std."""
+  def forward(model, params, k1, k2):
+    batch = {k: jnp.asarray(v) if not isinstance(v, dict) else
+             {kk: jnp.asarray(vv) for kk, vv in v.items()}
+             for k, v in _batch(seed=5).items()}
+    return fused_train.model_forward(
+        model, params, batch, _WARP_EXTRA, jax.random.PRNGKey(k1),
+        jax.random.PRNGKey(k2), interpret=True)
+
+  # Deterministic sampling: noise gated off (reference parity,
+  # model_utils.py noise path requires stratified sampling).
+  model, params = _build(noise_std=0.5, use_stratified_sampling=False)
+  a = forward(model, params, 0, 1)
+  b = forward(model, params, 2, 3)
+  np.testing.assert_array_equal(np.asarray(a['fine']['rgb']),
+                                np.asarray(b['fine']['rgb']))
+
+  # Stratified: different keys must give different densities even at
+  # identical sample positions — compare against noise_std=None under
+  # the same keys (isolates the noise from the sample jitter).
+  model_n, params_n = _build(noise_std=0.5, use_stratified_sampling=True)
+  model_0, _ = _build(noise_std=None, use_stratified_sampling=True)
+  out_n = forward(model_n, params_n, 0, 1)
+  out_0 = forward(model_0, params_n, 0, 1)
+  assert not np.allclose(np.asarray(out_n['fine']['acc']),
+                         np.asarray(out_0['fine']['acc']))
+  assert np.isfinite(np.asarray(out_n['fine']['rgb'])).all()
 
 
 def test_fused_warp_toggle_parity():

@@ -71,11 +71,12 @@ _VRIG_REF = dict(
     use_camera_metadata=True,
     use_alpha_condition=True,
 )
-_VRIG_OURS = dict(_VRIG_REF, use_rgb_condition=True)
+_VRIG_OURS = dict(_VRIG_REF, use_rgb_condition=True,
+                  rgb_padding=0.0)
 
 # test_local-style: no warp, no metadata conditions, viewdirs only.
 _PLAIN_REF = dict(_COMMON, use_warp=False)
-_PLAIN_OURS = dict(_PLAIN_REF)
+_PLAIN_OURS = dict(_PLAIN_REF, rgb_padding=0.0)
 
 _WARP_EXTRA = {'alpha': 1.7, 'time_alpha': 0.0}
 
