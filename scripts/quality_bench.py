@@ -2,9 +2,9 @@
 scene (real TPU or CPU mesh) and record the PSNR / MS-SSIM curve.
 
 Produces docs/quality_curve.json — the reproducible "quality at N steps"
-number that future rounds must not regress (see also the regression
-floor asserted by tests/test_end_to_end.py's slow marker and the curve
-table in docs/PERFORMANCE.md).
+number that future rounds must not regress (see also the CI-sized floor
+asserted by tests/test_quality_regression.py and the curve table in
+docs/PERFORMANCE.md).
 
 Usage (TPU, ~20k steps):
   python scripts/quality_bench.py --steps 20000 --eval_every 2000
