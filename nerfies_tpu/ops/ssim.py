@@ -33,11 +33,19 @@ def _filter2d(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     kernel = window.reshape(kernel_shape[:2] + [1, 1]
                             if axis == 0 else [1, size, 1, 1])
     x = x[None]  # NHWC
+    # Precision.HIGHEST is load-bearing on TPU: at default precision the
+    # conv inputs are cast to bf16 (~1e-3 absolute quantization on [0,1]
+    # images), and the downstream E[x^2] - mu^2 variance cancellation on
+    # smooth low-variance regions then yields NEGATIVE sigma estimates,
+    # driving the (sigma00 + sigma11 + c2) denominator through zero —
+    # measured SSIM values of 7.2/21.4 (mathematically <= 1) on real
+    # renders of the env-background scene before the fix.
     out = jax.lax.conv_general_dilated(
         x, jnp.tile(kernel, (1, 1, 1, x.shape[-1])),
         window_strides=(1, 1), padding='VALID',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        feature_group_count=x.shape[-1])
+        feature_group_count=x.shape[-1],
+        precision=jax.lax.Precision.HIGHEST)
     return out[0]
   return conv1d(conv1d(img, 0), 1)
 

@@ -195,6 +195,32 @@ def test_msssim_identical():
   assert abs(val - 1.0) < 1e-4
 
 
+def test_ssim_smooth_low_variance_images_stay_bounded():
+  """SSIM <= 1 on smooth images — the TPU-precision regression case.
+
+  On smooth low-variance regions (the env-background scene renders) the
+  E[x^2] - mu^2 variance cancellation sits at ~1e-6 while bf16 input
+  quantization error is ~1e-3: at default matmul precision the TPU conv
+  produced NEGATIVE sigma estimates and SSIM values of 7.2/21.4 on real
+  renders (quality_bench, round 4). _filter2d must force
+  Precision.HIGHEST; this test pins the invariant on whatever backend the
+  suite runs on.
+  """
+  yy, xx = np.mgrid[0:192, 0:192].astype(np.float32) / 192.0
+  img0 = np.stack([0.6 + 0.01 * xx, 0.6 + 0.01 * yy,
+                   np.full_like(xx, 0.6)], axis=-1)
+  img1 = np.clip(img0 + 1e-3 * np.random.RandomState(4).randn(192, 192, 3),
+                 0, 1).astype(np.float32)
+  im0, im1 = jnp.asarray(img0), jnp.asarray(img1)
+  for _ in range(3):
+    val, cs = ssim_lib.ssim(im0, im1, return_cs=True)
+    assert -1.0 <= float(val) <= 1.0 + 1e-6, float(val)
+    assert -1.0 <= float(cs) <= 1.0 + 1e-6, float(cs)
+    im0, im1 = ssim_lib._avg_pool2(im0), ssim_lib._avg_pool2(im1)
+  ms = float(ssim_lib.multiscale_ssim(jnp.asarray(img0), jnp.asarray(img1)))
+  assert 0.0 <= ms <= 1.0 + 1e-6, ms
+
+
 # --- visualization ---
 
 
