@@ -30,7 +30,6 @@ from nerfies_tpu import image_utils
 from nerfies_tpu import minigin as gin
 from nerfies_tpu import schedules
 from nerfies_tpu import training
-from nerfies_tpu.datasets import core as ds_core
 from nerfies_tpu.models import nerf as models
 from nerfies_tpu.parallel import mesh as mesh_lib
 
@@ -94,21 +93,22 @@ def main(argv):
   out_dir = Path(FLAGS.output_dir or Path(FLAGS.base_folder) / 'video')
   out_dir.mkdir(parents=True, exist_ok=True)
 
+  # Rays are generated ON DEVICE from the camera parameters
+  # (evaluation.render_camera): per frame the host uploads ~60 B of
+  # camera params + 4 metadata scalars instead of 24 B/ray, and frames
+  # share one compiled program as long as the camera resolution is
+  # constant (the reference's host path:
+  # /root/reference/nerfies/datasets/core.py:50-75 per frame).
+  metadata_ids = {
+      'warp': FLAGS.warp_id,
+      'appearance': FLAGS.appearance_id,
+      'camera': FLAGS.camera_id,
+      'time': 0.0,
+  }
   frames = []
   for i, camera in enumerate(cameras):
-    rays = ds_core.camera_to_rays(camera)
-    h, w = rays['directions'].shape[:2]
-    metadata = {
-        'warp': np.full((h, w, 1), FLAGS.warp_id, np.uint32),
-        'appearance': np.full((h, w, 1), FLAGS.appearance_id, np.uint32),
-        'camera': np.full((h, w, 1), FLAGS.camera_id, np.uint32),
-        'time': np.zeros((h, w, 1), np.float32),
-    }
-    out = evaluation.render_image(
-        state,
-        {'origins': rays['origins'], 'directions': rays['directions'],
-         'metadata': metadata},
-        render_fn, chunk=FLAGS.chunk)
+    out = evaluation.render_camera(
+        state, camera, metadata_ids, render_fn, chunk=FLAGS.chunk)
     frame = image_utils.image_to_uint8(np.asarray(out['rgb']))
     image_utils.save_image(out_dir / f'{i:06d}.png', frame)
     frames.append(frame)

@@ -34,6 +34,15 @@ def main():
   parser.add_argument('--params', default='/tmp/quality_params.npz')
   parser.add_argument('--scene_dir', default='/tmp/quality_scene_env')
   parser.add_argument('--chunk', type=int, default=8192)
+  parser.add_argument('--hd_chunk', type=int, default=32768,
+                      help='ray chunk for the measured 1080p frame '
+                           '(large chunks amortize per-chunk overhead; '
+                           'see bench.py render_chunk_sweep)')
+  parser.add_argument('--measure_1080p', action=argparse.BooleanOptionalAction,
+                      default=True,
+                      help='render a real 1920x1080 frame per mode '
+                           '(on-device rays via render_camera) and record '
+                           'the measured seconds/frame, not a projection')
   parser.add_argument('--grid_resolution', type=int, default=128)
   parser.add_argument('--sigma_threshold', type=float, default=0.05)
   parser.add_argument('--out', default='docs/serve_quality.json')
@@ -99,6 +108,13 @@ def main():
   print(f'grid baked in {time.perf_counter()-t0:.1f}s, '
         f'{100*occ_frac:.1f}% occupied', flush=True)
 
+  # A real 1080p novel-view camera on the same orbit as the capture;
+  # rays are generated on device (render_camera), so the frame time
+  # includes no host ray build or 24 B/ray upload.
+  from nerfies_tpu.datasets import synthetic
+  hd_camera = synthetic.make_orbit_camera(0.3, image_size=(1920, 1080))
+  hd_metadata = {'warp': 0, 'camera': 0, 'appearance': 0, 'time': 0.0}
+
   def evaluate(tag, model, **render_kwargs):
     render_fn = evaluation.make_render_fn(model, mesh, **render_kwargs)
     evaluation.render_image(state, val_rays, render_fn,
@@ -116,8 +132,16 @@ def main():
         weights=weights))
     rps = out['rays_per_sec']
     row = {'mode': tag, 'rays_per_sec': round(rps, 1),
-           'psnr': round(psnr, 3), 'ms_ssim': round(ssim, 4),
-           'projected_1080p_s': round(1920 * 1080 / rps, 3)}
+           'psnr': round(psnr, 3), 'ms_ssim': round(ssim, 4)}
+    if args.measure_1080p:
+      evaluation.render_camera(state, hd_camera, hd_metadata, render_fn,
+                               chunk=args.hd_chunk)  # compile
+      hd = evaluation.render_camera(state, hd_camera, hd_metadata,
+                                    render_fn, chunk=args.hd_chunk)
+      row['measured_1080p_s'] = round(hd['render_time'], 3)
+      row['hd_rays_per_sec'] = round(hd['rays_per_sec'], 1)
+    else:
+      row['projected_1080p_s'] = round(1920 * 1080 / rps, 3)
     print(json.dumps(row), flush=True)
     return row
 

@@ -90,13 +90,16 @@ def test_fit_synthetic_scene_psnr_rises(scene_dir):
   assert val_psnr > 12.0, f'Validation PSNR too low: {val_psnr}'
 
 
-@pytest.mark.parametrize('entry', ['train', 'eval', 'eval_occupancy'])
+@pytest.mark.parametrize('entry',
+                         ['train', 'eval', 'eval_occupancy', 'render_video'])
 def test_cli_smoke(scene_dir, tmp_path, entry):
-  """train.py / eval.py run end-to-end on the test_local config.
+  """train.py / eval.py / render_video.py run end-to-end on test_local.
 
   The 'eval_occupancy' variant exercises the user-reachable serving
   accelerations: occupancy-grid culling + reduced sample presets
   (EvalConfig.use_occupancy_culling / occupancy_keep_* fields).
+  'render_video' drives the novel-view video script over a camera path
+  (on-device ray generation via render_camera).
   """
   base = tmp_path / 'exp'
   env = dict(os.environ)
@@ -133,6 +136,22 @@ def test_cli_smoke(scene_dir, tmp_path, entry):
   assert result.returncode == 0, result.stderr[-3000:]
   assert (base / 'checkpoints').exists()
   assert (base / 'config.gin').exists()
+
+  if entry == 'render_video':
+    # The synthetic writer ships a 6-camera 'orbit-mild' trajectory.
+    num_path_cams = len(list(
+        (Path(scene_dir) / 'camera-paths' / 'orbit-mild').glob('*.json')))
+    assert num_path_cams > 0
+    cmd[1] = str(REPO_ROOT / 'scripts' / 'render_video.py')
+    cmd += ['--chunk', '256']
+    result = subprocess.run(cmd, capture_output=True, text=True,
+                            timeout=600, env=env, cwd=REPO_ROOT)
+    assert result.returncode == 0, result.stderr[-3000:]
+    video_dir = base / 'video'
+    pngs = sorted(video_dir.glob('*.png'))
+    assert len(pngs) == num_path_cams, (
+        f'expected {num_path_cams} frames, got {pngs}')
+    return
 
   if entry.startswith('eval'):
     cmd[1] = str(REPO_ROOT / 'eval.py')
