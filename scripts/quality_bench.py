@@ -174,6 +174,19 @@ def main():
         weights=weights)) if num_scales else float('nan')
     return psnr, ssim, out
 
+  def _write_result(curve, partial=False):
+    result = {
+        'workload': 'quarter-HD-class synthetic (textured, moving sphere)',
+        'image_size': list(args.image_size),
+        'batch_size': args.batch_size,
+        'steps': args.steps,
+        'device': jax.devices()[0].device_kind,
+        'curve': curve,
+    }
+    if partial:
+      result['partial'] = True
+    pathlib.Path(args.out).write_text(json.dumps(result, indent=2))
+
   rng = jax.random.PRNGKey(1)
   curve = []
   t_start = time.time()
@@ -217,6 +230,10 @@ def main():
                     'warp_alpha': round(float(warp_alpha_sched(step)), 3),
                     'wall_s': round(wall, 1)})
       print(json.dumps(curve[-1]), flush=True)
+      # Write the artifact incrementally: an axon-tunnel RPC can wedge
+      # mid-run (observed round 4) and a 90-minute fit must not lose its
+      # curve to a hang at step 16k.
+      _write_result(curve, partial=True)
       if args.save_params:
         from flax import traverse_util
         flat = traverse_util.flatten_dict(
@@ -224,17 +241,8 @@ def main():
         np.savez(args.save_params, **{k: np.asarray(v)
                                       for k, v in flat.items()})
 
-  result = {
-      'workload': 'quarter-HD-class synthetic (textured, moving sphere)',
-      'image_size': list(args.image_size),
-      'batch_size': args.batch_size,
-      'steps': args.steps,
-      'device': jax.devices()[0].device_kind,
-      'curve': curve,
-  }
-  out_path = pathlib.Path(args.out)
-  out_path.write_text(json.dumps(result, indent=2))
-  print(f'wrote {out_path}', flush=True)
+  _write_result(curve)
+  print(f'wrote {args.out}', flush=True)
 
   if args.save_params:
     from flax import traverse_util
