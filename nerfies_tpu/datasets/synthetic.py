@@ -172,7 +172,15 @@ def write_synthetic_dataset(data_dir,
     camera = make_orbit_camera(theta, image_size=image_size)
     camera.save_json(data_dir / 'camera' / f'{item_id}.json')
 
-    phase = 2.0 * np.pi * i / num_frames
+    # Validation frames reuse a train frame's metadata ids (vrig-style:
+    # the val camera shares each time instant with a train camera), so
+    # their ground truth must show the scene in THAT train frame's
+    # deformation state. Rendering val GT at its own orbit phase while
+    # the model renders with the reused (trained) warp code misplaces
+    # the sphere by up to motion_amplitude and caps val PSNR at ~23.5 dB
+    # no matter how well the fit converges (round-4 plateau diagnosis).
+    mid = i if i < num_train else i % num_train
+    phase = 2.0 * np.pi * mid / num_frames
     offset = motion_amplitude * np.sin(phase)
     image, depth = render_sphere_image(camera,
                                        sphere_center=(offset, 0.0, 0.0),
@@ -194,9 +202,6 @@ def write_synthetic_dataset(data_dir,
                             depth, 1.0 / scale))
         image_utils.save_depth(depth_dir / f'{item_id}.png', scaled_depth)
 
-    # Validation frames reuse train metadata ids (as in the vrig setup,
-    # where the val camera shares each time instant with a train camera).
-    mid = i if i < num_train else i % num_train
     metadata[item_id] = {
         'appearance_id': mid,
         'camera_id': 0,

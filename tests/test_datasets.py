@@ -188,3 +188,30 @@ def test_gt_depth_loading(tmp_path):
   # Frames without a depth map skip the key.
   (tmp_path / 'depth' / '1x' / '0001.png').unlink()
   assert 'depth' not in ds.get_item('0001')
+
+
+def test_val_gt_matches_reused_metadata_state(tmp_path):
+  """A val frame's GT shows the deformation state of the train frame
+  whose warp id it reuses — NOT the state at the val frame's own orbit
+  index. (Round-4 bug: the mismatch misplaced the sphere by up to
+  motion_amplitude and capped val PSNR at ~23.5 dB forever.)"""
+  num_train, num_val = 4, 2
+  synthetic.write_synthetic_dataset(
+      tmp_path, num_train=num_train, num_val=num_val,
+      image_size=(48, 36), motion_amplitude=0.3)
+  ds = datasets.from_config(
+      {'type': 'nerfies', 'data_dir': str(tmp_path)},
+      image_scale=1, use_warp_id=True, random_seed=0)
+  num_frames = num_train + num_val
+  for i in range(num_train, num_frames):
+    item_id = f'{i:04d}'
+    mid = i % num_train
+    assert ds.get_warp_id(item_id) == mid
+    camera = ds.load_camera(item_id)
+    phase = 2.0 * np.pi * mid / num_frames
+    offset = 0.3 * np.sin(phase)
+    expected = synthetic.render_sphere_image(
+        camera, sphere_center=(offset, 0.0, 0.0))
+    got = ds.get_item(item_id)['rgb']
+    # uint8 round-trip only.
+    np.testing.assert_allclose(got, expected, atol=1.5 / 255.0)
