@@ -57,9 +57,20 @@ def main():
                            'kernels (the tpu_*.gin flagship path); the '
                            'recorded curve then doubles as end-to-end '
                            'gradient evidence for the fused path')
+  parser.add_argument('--work_dir', default='/tmp/quality_bench_work',
+                      help='orbax checkpoint dir: the full TrainState is '
+                           'saved every eval so a wedged TPU RPC (observed '
+                           'round 4, cost 70 min) loses at most one '
+                           'eval-interval of work')
+  parser.add_argument('--resume', action=argparse.BooleanOptionalAction,
+                      default=True,
+                      help='restore the latest --work_dir checkpoint and '
+                           'the matching prefix of the existing --out '
+                           'curve, then continue; --no-resume starts fresh')
   args = parser.parse_args()
 
   import bench as B
+  from nerfies_tpu import checkpoints
   from nerfies_tpu import configs
   from nerfies_tpu import datasets
   from nerfies_tpu import evaluation
@@ -149,9 +160,10 @@ def main():
               'directions': val_item['directions'],
               'metadata': val_item['metadata']}
   val_rgb = val_item['rgb']
-  # A train view as well: val views carry warp/appearance codes that
-  # never receive gradients (unseen ids), so the train-view render is
-  # the cleaner convergence signal while val is the generalization one.
+  # A train view as well: val frames reuse TRAIN metadata ids and their
+  # GT shows that train frame's deformation state (synthetic.py), so
+  # val PSNR is the true novel-view generalization signal while the
+  # train-view render is the raw convergence signal.
   train_view_item = next(iter(datasource.create_iterator(
       [datasource.train_ids[0]], batch_size=0, repeat=False)))
   train_view_rays = {'origins': train_view_item['origins'],
@@ -169,9 +181,11 @@ def main():
     num_scales = metrics_ops.max_feasible_scales(*pred.shape[:2])
     weights = metrics_ops.MSSSIM_WEIGHTS[:num_scales]
     weights = tuple(w / sum(weights) for w in weights)
+    # None (→ JSON null), never NaN: json.dumps would emit the non-RFC
+    # `NaN` literal and corrupt the artifact (round-4 advisor finding).
     ssim = float(metrics_ops.multiscale_ssim(
         jax.numpy.asarray(pred), jax.numpy.asarray(val_rgb),
-        weights=weights)) if num_scales else float('nan')
+        weights=weights)) if num_scales else None
     return psnr, ssim, out
 
   def _write_result(curve, partial=False):
@@ -185,14 +199,34 @@ def main():
     }
     if partial:
       result['partial'] = True
-    pathlib.Path(args.out).write_text(json.dumps(result, indent=2))
+    # allow_nan=False: a non-finite value must fail loudly here, not
+    # silently produce a file jq/JSON.parse reject.
+    pathlib.Path(args.out).write_text(
+        json.dumps(result, indent=2, allow_nan=False))
 
   rng = jax.random.PRNGKey(1)
   curve = []
-  t_start = time.time()
+  start_step = 0
+  wall_offset = 0.0
+  if args.resume:
+    restored = checkpoints.restore_checkpoint(args.work_dir, state)
+    ckpt_step = checkpoints.latest_checkpoint_step(args.work_dir)
+    if ckpt_step:
+      state = jax.device_put(restored, mesh_lib.replicated_sharding(mesh))
+      start_step = int(ckpt_step)
+      out_path = pathlib.Path(args.out)
+      if out_path.exists():
+        prior = json.loads(out_path.read_text())
+        curve = [row for row in prior.get('curve', [])
+                 if row['step'] <= start_step]
+      if curve:
+        wall_offset = curve[-1].get('wall_s', 0.0)
+      print(f'resumed from step {start_step} '
+            f'({len(curve)} prior evals)', flush=True)
   stats = None
   prev_pred = None
-  for step in range(1, args.steps + 1):
+  t_start = time.time()
+  for step in range(start_step + 1, args.steps + 1):
     batch = next(train_iter)
     batch['background_points'] = next(points_iter)
     sp = training.ScalarParams(
@@ -214,19 +248,21 @@ def main():
       tpred = np.clip(np.asarray(tout['rgb']), 0, 1)
       tv_psnr = -10.0 * np.log10(float(np.mean(
           (tpred - train_view_rgb) ** 2)))
-      wall = time.time() - t_start
+      wall = wall_offset + (time.time() - t_start)
       pred = np.clip(np.asarray(out['rgb']), 0, 1)
       # Render-freshness diagnostic: a converging fit must show the
       # rendered validation view actually changing between evals; a
-      # zero delta means the eval path is reading stale state.
-      delta = (float(np.abs(pred - prev_pred).mean())
-               if prev_pred is not None else float('nan'))
+      # zero delta means the eval path is reading stale state. None
+      # (not NaN) when there is no previous render to diff against.
+      delta = (round(float(np.abs(pred - prev_pred).mean()), 8)
+               if prev_pred is not None else None)
       prev_pred = pred
       curve.append({'step': step, 'val_psnr': round(psnr, 5),
                     'train_view_psnr': round(tv_psnr, 5),
-                    'val_ms_ssim': round(ssim, 6),
+                    'val_ms_ssim': (round(ssim, 6)
+                                    if ssim is not None else None),
                     'train_loss': round(loss, 6),
-                    'render_delta': round(delta, 8),
+                    'render_delta': delta,
                     'warp_alpha': round(float(warp_alpha_sched(step)), 3),
                     'wall_s': round(wall, 1)})
       print(json.dumps(curve[-1]), flush=True)
@@ -234,6 +270,8 @@ def main():
       # mid-run (observed round 4) and a 90-minute fit must not lose its
       # curve to a hang at step 16k.
       _write_result(curve, partial=True)
+      # Checkpoint the full TrainState so --resume restarts from here.
+      checkpoints.save_checkpoint(args.work_dir, state, step=step, keep=2)
       if args.save_params:
         from flax import traverse_util
         flat = traverse_util.flatten_dict(
