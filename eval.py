@@ -42,6 +42,11 @@ flags.mark_flag_as_required('base_folder')
 flags.DEFINE_string('data_dir', None, 'input data directory.')
 flags.DEFINE_multi_string('gin_bindings', None, 'Gin parameter bindings.')
 flags.DEFINE_multi_string('gin_configs', (), 'Gin config files.')
+flags.DEFINE_bool('fast_preview', False,
+                  'One-flag fast serving preset: 32+64 samples/ray, '
+                  'occupancy-culled to 16+32 (equivalent to '
+                  'EvalConfig.fast_preview = True; measured frame time '
+                  'and quality delta in docs/PERFORMANCE.md).')
 FLAGS = flags.FLAGS
 
 
@@ -273,6 +278,26 @@ def main(argv):
   model_config = configs.ModelConfig(use_stratified_sampling=False)
   train_config = configs.TrainConfig()
   eval_config = configs.EvalConfig()
+  if FLAGS.fast_preview:
+    eval_config.fast_preview = True
+  if eval_config.fast_preview:
+    # The fastest serving mode measured by scripts/serve_bench.py
+    # (docs/serve_quality.json): 32+64 samples culled to 16+32 through
+    # the occupancy grid. Explicit user settings win over the preset.
+    if eval_config.num_coarse_samples is None:
+      eval_config.num_coarse_samples = 32
+    if eval_config.num_fine_samples is None:
+      eval_config.num_fine_samples = 64
+    eval_config.use_occupancy_culling = True
+    if eval_config.occupancy_keep_coarse is None:
+      eval_config.occupancy_keep_coarse = 16
+    if eval_config.occupancy_keep_fine is None:
+      eval_config.occupancy_keep_fine = 32
+    logging.info('fast_preview: samples %d+%d, occupancy-culled to %d+%d.',
+                 eval_config.num_coarse_samples,
+                 eval_config.num_fine_samples,
+                 eval_config.occupancy_keep_coarse,
+                 eval_config.occupancy_keep_fine)
 
   exp_dir = gpath.GPath(FLAGS.base_folder)
   if exp_config.subname:

@@ -221,3 +221,11 @@ class EvalConfig:
   # Samples kept per level after culling; None leaves that level unculled.
   occupancy_keep_coarse: Optional[int] = None
   occupancy_keep_fine: Optional[int] = None
+
+  # One-flag serving preset (`eval.py --fast_preview` or gin
+  # `EvalConfig.fast_preview = True`): 32+64 samples/ray with occupancy
+  # culling to 16+32 — the fastest mode measured by
+  # scripts/serve_bench.py (docs/serve_quality.json; quality delta and
+  # frame time in docs/PERFORMANCE.md's serving table). Explicitly-set
+  # sample-count / occupancy fields win over the preset.
+  fast_preview: bool = False

@@ -19,9 +19,14 @@ per-ray, S times smaller) and broadcast to rows, preserving the
 SplitDense "never tile conditions into the batch" contract at the HBM
 level that matters (the (N, width) bias read is a few-percent overhead).
 
-Used by the fast serving/render path (nerfies_tpu/fast_render.py); the
-training step keeps the XLA path (remat + autodiff). Interpret mode makes
-every kernel testable on CPU (tests/test_fused_mlp.py).
+Used by the TRAINING step (fused_train.nerf_mlp_train wires the
+custom-VJP kernels into the loss; tpu_*.gin and bench.py default to it —
+measured 277 vs 292 ms/step on v5e). SERVING defaults to the XLA path:
+the forward-only Pallas route measured SLOWER for rendering (XLA's own
+fusion wins when no VJP is needed; see docs/PERFORMANCE.md
+losing-experiments). fast_render.py keeps the forward kernels available
+behind a flag. Interpret mode makes every kernel testable on CPU
+(tests/test_fused_mlp.py).
 
 Reference workload shapes: /root/reference/configs/gpu_quarterhd.gin
 (trunk 8x256 skip(4,), warp trunk 6x128 skip(4,)).
