@@ -137,6 +137,7 @@ def write_synthetic_dataset(data_dir,
                             env_background: bool = False,
                             num_points: int = 256,
                             write_depth: bool = False,
+                            cameras_per_state: int = 1,
                             seed: int = 0) -> Path:
   """Writes a full nerfies-format capture directory.
 
@@ -155,6 +156,16 @@ def write_synthetic_dataset(data_dir,
       benchmarks — a 90%-pure-white target collapses training into exact
       rgb-sigmoid saturation.
     num_points: background points written to points.npy.
+    cameras_per_state: training cameras observing each deformation state
+      (consecutive orbit cameras share one state/metadata id). 1 = the
+      monocular-video regime, where every state is seen from exactly one
+      viewpoint and the warp field can explain each frame independently
+      of 3D-consistent geometry — novel-view PSNR then saturates ~20 dB
+      below train-view PSNR (measured round 5; this shape-warp ambiguity
+      is why the reference evaluates on validation-RIG captures,
+      /root/reference/README.md "vrig" configs). 2 = the vrig regime:
+      every state is multi-view constrained and novel-view quality
+      tracks the fit.
     seed: rng seed for the background points.
 
   Returns:
@@ -163,24 +174,38 @@ def write_synthetic_dataset(data_dir,
   data_dir = Path(data_dir)
   (data_dir / 'camera').mkdir(parents=True, exist_ok=True)
   num_frames = num_train + num_val
+  if num_train % cameras_per_state:
+    raise ValueError(f'num_train={num_train} not divisible by '
+                     f'cameras_per_state={cameras_per_state}')
+  num_states = num_train // cameras_per_state
 
   all_ids = [f'{i:04d}' for i in range(num_frames)]
-  thetas = np.linspace(0.0, 2.0 * np.pi, num_frames, endpoint=False)
+  thetas = list(np.linspace(0.0, 2.0 * np.pi, num_frames, endpoint=False))
+  # Validation frames reuse a train state's metadata ids (vrig-style: the
+  # val camera shares each time instant with train cameras), so their
+  # ground truth must show the scene in THAT state's deformation —
+  # rendering val GT at its own orbit phase while the model renders with
+  # the reused (trained) warp code misplaces the sphere by up to
+  # motion_amplitude and caps val PSNR at ~23.5 dB no matter how well the
+  # fit converges (round-4 plateau diagnosis). Val states spread evenly
+  # over the train states, and each val camera sits between (offset half
+  # a camera spacing from) its state's train cameras — a genuinely novel
+  # viewpoint of a seen state, the vrig evaluation geometry.
+  state_of = [i // cameras_per_state for i in range(num_train)]
+  spacing = 2.0 * np.pi / num_frames
+  for j in range(num_val):
+    mid = (j * num_states) // max(num_val, 1) % num_states
+    state_of.append(mid)
+    thetas[num_train + j] = (thetas[mid * cameras_per_state]
+                             + 0.5 * spacing * cameras_per_state)
 
   metadata = {}
   for i, (item_id, theta) in enumerate(zip(all_ids, thetas)):
     camera = make_orbit_camera(theta, image_size=image_size)
     camera.save_json(data_dir / 'camera' / f'{item_id}.json')
 
-    # Validation frames reuse a train frame's metadata ids (vrig-style:
-    # the val camera shares each time instant with a train camera), so
-    # their ground truth must show the scene in THAT train frame's
-    # deformation state. Rendering val GT at its own orbit phase while
-    # the model renders with the reused (trained) warp code misplaces
-    # the sphere by up to motion_amplitude and caps val PSNR at ~23.5 dB
-    # no matter how well the fit converges (round-4 plateau diagnosis).
-    mid = i if i < num_train else i % num_train
-    phase = 2.0 * np.pi * mid / num_frames
+    mid = state_of[i]
+    phase = 2.0 * np.pi * mid / num_states
     offset = motion_amplitude * np.sin(phase)
     image, depth = render_sphere_image(camera,
                                        sphere_center=(offset, 0.0, 0.0),

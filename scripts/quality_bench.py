@@ -47,6 +47,16 @@ def main():
                            'default easy scene converged by step 2000, '
                            'flattening the whole curve)')
   parser.add_argument('--motion_amplitude', type=float, default=0.15)
+  parser.add_argument('--cameras_per_state', type=int, default=2,
+                      help='training cameras per deformation state. 2 = '
+                           'the validation-rig regime the reference '
+                           'quantifies on (vrig configs): every state is '
+                           'multi-view constrained, so novel-view PSNR '
+                           'tracks the fit. 1 = monocular video, where '
+                           'the warp can explain each frame without '
+                           '3D-consistent geometry and val PSNR '
+                           'saturates ~20 dB below train-view PSNR '
+                           '(measured round 5, docs/PERFORMANCE.md).')
   parser.add_argument('--save_params', default='',
                       help='optional .npz path for the final params '
                            '(flattened tree) — feeds the occupancy-culled '
@@ -94,6 +104,7 @@ def main():
         image_size=tuple(args.image_size),
         motion_amplitude=args.motion_amplitude,
         texture_frequency=args.texture_frequency,
+        cameras_per_state=args.cameras_per_state,
         env_background=True, num_points=16384)
     print('scene written', flush=True)
 
@@ -273,22 +284,31 @@ def main():
       # Checkpoint the full TrainState so --resume restarts from here.
       checkpoints.save_checkpoint(args.work_dir, state, step=step, keep=2)
       if args.save_params:
-        from flax import traverse_util
-        flat = traverse_util.flatten_dict(
-            jax.device_get(state.params), sep='/')
-        np.savez(args.save_params, **{k: np.asarray(v)
-                                      for k, v in flat.items()})
+        _save_params(args.save_params, state)
 
   _write_result(curve)
   print(f'wrote {args.out}', flush=True)
 
   if args.save_params:
-    from flax import traverse_util
-    flat = traverse_util.flatten_dict(
-        jax.device_get(state.params), sep='/')
-    np.savez(args.save_params, **{k: np.asarray(v)
-                                  for k, v in flat.items()})
+    _save_params(args.save_params, state)
     print(f'saved params to {args.save_params}', flush=True)
+
+
+def _save_params(path, state):
+  """Flattened params PLUS the annealing alphas.
+
+  The warp PE window (state.warp_alpha) is part of the trained function:
+  rendering a converged fit with alpha=0 crushes every non-zero warp code
+  (measured: sphere PSNR 19.3 -> garbage on a mid-orbit train view) —
+  consumers (scripts/serve_bench.py) must restore it, as eval.py does via
+  the schedule."""
+  import numpy as np
+  from flax import traverse_util
+  import jax
+  flat = traverse_util.flatten_dict(jax.device_get(state.params), sep='/')
+  flat['__warp_alpha__'] = np.asarray(jax.device_get(state.warp_alpha))
+  flat['__time_alpha__'] = np.asarray(jax.device_get(state.time_alpha))
+  np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
 
 
 if __name__ == '__main__':

@@ -59,8 +59,16 @@ def main():
   from nerfies_tpu.parallel import mesh as mesh_lib
 
   data = np.load(args.params)
+  # The annealing alphas ride along in the npz (quality_bench._save_params):
+  # the warp PE window is part of the trained function and rendering with
+  # alpha=0 crushes every non-zero warp code (measured: the whole serving
+  # table lost 10+ dB before this restore existed).
+  warp_alpha = float(data['__warp_alpha__']) if '__warp_alpha__' in data \
+      else None
+  time_alpha = float(data['__time_alpha__']) if '__time_alpha__' in data \
+      else 0.0
   params = traverse_util.unflatten_dict(
-      {k: data[k] for k in data.files}, sep='/')
+      {k: data[k] for k in data.files if not k.startswith('__')}, sep='/')
 
   datasource = datasets.from_config(
       {'type': 'nerfies', 'data_dir': args.scene_dir},
@@ -82,7 +90,14 @@ def main():
         near=datasource.near, far=datasource.far)
     return model
 
-  state = training.create_train_state(params)
+  if warp_alpha is None:
+    # Legacy npz without alphas: fall back to the fully-annealed window
+    # (the quality_bench schedule reaches num_warp_freqs by 20k steps).
+    warp_alpha = float(B.model_config().num_warp_freqs)
+    print(f'params file has no __warp_alpha__; assuming fully-annealed '
+          f'{warp_alpha}', flush=True)
+  state = training.create_train_state(params, warp_alpha=warp_alpha,
+                                      time_alpha=time_alpha)
   val_item = next(iter(datasource.create_iterator(
       [datasource.val_ids[0]], batch_size=0, repeat=False)))
   val_rays = {'origins': val_item['origins'],

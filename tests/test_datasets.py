@@ -190,25 +190,31 @@ def test_gt_depth_loading(tmp_path):
   assert 'depth' not in ds.get_item('0001')
 
 
-def test_val_gt_matches_reused_metadata_state(tmp_path):
-  """A val frame's GT shows the deformation state of the train frame
-  whose warp id it reuses — NOT the state at the val frame's own orbit
-  index. (Round-4 bug: the mismatch misplaced the sphere by up to
+@pytest.mark.parametrize('cps', [1, 2])
+def test_val_gt_matches_reused_metadata_state(tmp_path, cps):
+  """A val frame's GT shows the deformation state of the train state
+  whose warp id it reuses -- NOT a state at the val frame's own orbit
+  index -- and its camera sits between that state's train cameras.
+  (Round-4 bug: the mismatch misplaced the sphere by up to
   motion_amplitude and capped val PSNR at ~23.5 dB forever.)"""
   num_train, num_val = 4, 2
+  path = tmp_path / f'cps{cps}'
   synthetic.write_synthetic_dataset(
-      tmp_path, num_train=num_train, num_val=num_val,
-      image_size=(48, 36), motion_amplitude=0.3)
+      path, num_train=num_train, num_val=num_val,
+      image_size=(48, 36), motion_amplitude=0.3, cameras_per_state=cps)
   ds = datasets.from_config(
-      {'type': 'nerfies', 'data_dir': str(tmp_path)},
+      {'type': 'nerfies', 'data_dir': str(path)},
       image_scale=1, use_warp_id=True, random_seed=0)
-  num_frames = num_train + num_val
-  for i in range(num_train, num_frames):
-    item_id = f'{i:04d}'
-    mid = i % num_train
+  num_states = num_train // cps
+  # Train frames: consecutive cameras share a state id.
+  for i in range(num_train):
+    assert ds.get_warp_id(f'{i:04d}') == i // cps
+  for j in range(num_val):
+    item_id = f'{num_train + j:04d}'
+    mid = (j * num_states) // num_val % num_states
     assert ds.get_warp_id(item_id) == mid
     camera = ds.load_camera(item_id)
-    phase = 2.0 * np.pi * mid / num_frames
+    phase = 2.0 * np.pi * mid / num_states
     offset = 0.3 * np.sin(phase)
     expected = synthetic.render_sphere_image(
         camera, sphere_center=(offset, 0.0, 0.0))
