@@ -33,6 +33,7 @@ Reference workload shapes: /root/reference/configs/gpu_quarterhd.gin
 """
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -43,6 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 # Row tile: 8 rays x 128 samples at the quarter-HD sampling rate.
 # 1024 rows x 256 ch x 4 B (f32 accum) = 1 MB live per intermediate.
 _TILE = 1024
+# Backward row tile (smaller: the VJP keeps every layer's recomputed
+# activations plus the f32 weight-grad accumulators live in VMEM).
+# Env-tunable for on-TPU probing; see docs/SCALING.md's attribution.
+_BWD_TILE = int(os.environ.get('NERFIES_FUSED_BWD_TILE', '512'))
 
 
 def _pad_last(x: jnp.ndarray, to: int) -> jnp.ndarray:
@@ -441,7 +446,7 @@ def _nerf_train_bwd(trunk_depth, skips, interpret, residuals, grads):
 
   # Smaller tile than the forward: the backward keeps every layer's
   # activations plus f32 weight-grad accumulators live in VMEM.
-  tile = min(512, n)
+  tile = min(_BWD_TILE, n)
   pad_n = (-n) % tile
   if pad_n:
     xp = jnp.pad(xp, ((0, pad_n), (0, 0)))

@@ -41,8 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nerfies_tpu.ops.fused_mlp import (_dot, _dot_at, _dot_t, _pad_last,
-                                       _pad_rows, _wrow)
+from nerfies_tpu.ops.fused_mlp import (_BWD_TILE, _dot, _dot_at, _dot_t,
+                                       _pad_last, _pad_rows, _wrow)
 
 
 def _pack(params: dict, c_in: int, f_embed: int, trunk_depth: int,
@@ -221,7 +221,7 @@ def _warp_bwd(trunk_depth, skips, need_dx, interpret, residuals, grads):
   g_out = g_out.astype(jnp.float32)
   g_jouts = [g.astype(jnp.float32) for g in g_jouts]
 
-  tile = min(512, n)
+  tile = min(_BWD_TILE, n)
   pad_n = (-n) % tile
   if pad_n:
     pad2 = lambda a: jnp.pad(a, ((0, pad_n), (0, 0)))
