@@ -360,6 +360,10 @@ def main():
                       help='route the step through the fused Pallas MLP '
                            'and warp kernels (ops/fused_mlp, ops/fused_warp)')
   p_step.add_argument('--trace_dir', default='')
+  p_step.add_argument('--bwd_tile', type=int, default=0,
+                      help='override the fused kernels\' backward row '
+                           'tile (sets NERFIES_FUSED_BWD_TILE before the '
+                           'kernel modules import; 0 = keep default)')
 
   p_render = sub.add_parser('render')
   p_render.add_argument('--render_size', type=int, default=384)
@@ -378,6 +382,9 @@ def main():
   p_x.add_argument('--top', type=int, default=20)
 
   args = parser.parse_args()
+  if getattr(args, 'bwd_tile', 0):
+    import os
+    os.environ['NERFIES_FUSED_BWD_TILE'] = str(args.bwd_tile)
   if args.mode == 'step':
     run_step(args)
   elif args.mode == 'render':
